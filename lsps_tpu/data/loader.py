@@ -1,0 +1,96 @@
+"""Torch-free batch loader.
+
+Replaces ``torch.utils.data.DataLoader`` (reference: src/common.py:16-17,
+4 workers) with a prefetching iterator: a background thread builds the
+next numpy batch while the device computes on the current one — the
+host/TPU overlap that matters here, since per-sample work is light
+numpy/cv2.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+def _stack(samples):
+    first = samples[0]
+    if isinstance(first, tuple):
+        return tuple(np.stack([s[i] for s in samples]).astype(np.float32)
+                     for i in range(len(first)))
+    return np.stack(samples).astype(np.float32)
+
+
+class DataLoader:
+    """Iterate minibatches of stacked numpy arrays.
+
+    Matches the reference loader contract: new shuffle order each epoch,
+    final short batch included (the loops skip it themselves,
+    depth_train.py:143-144).
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool,
+                 seed: int = 0, prefetch: int = 2, drop_last: bool = False):
+        self.dataset = dataset
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self._rng = np.random.RandomState(seed)
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _epoch_order(self):
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            self._rng.shuffle(order)
+        return order
+
+    def __iter__(self) -> Iterator:
+        order = self._epoch_order()
+        nb = len(self)
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def producer():
+            try:
+                for b in range(nb):
+                    idx = order[b * self.batch_size:(b + 1) * self.batch_size]
+                    samples = [self.dataset[int(i)] for i in idx]
+                    q.put(_stack(samples))
+            except Exception as e:  # surface worker errors to the consumer
+                q.put(e)
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            if isinstance(item, Exception):
+                raise item
+            yield item
+
+
+def get_data_loader(dataset, batch_size: int, shuffle: bool,
+                    seed: int = 0) -> DataLoader:
+    """Reference-named factory (common.py:16-17)."""
+    return DataLoader(dataset, batch_size, shuffle, seed=seed)
+
+
+def get_dataset(conf: dict):
+    """Registry-dispatch dataset factory (replaces exec at
+    common.py:10-14)."""
+    from lsps_tpu.registry import lookup
+
+    return lookup("dataset", conf["class_name"])(conf)

@@ -1,0 +1,339 @@
+"""Functional NN building blocks (NHWC, TPU-native).
+
+This is the TPU-first re-design of the reference's ~20 nn.Module wrappers
+(reference: src/trainers/common_net.py:111-379).  Models are parameter
+pytrees; every layer is an (init, apply) pair and composition is a plain
+Python list — everything traces to one XLA program under jit.
+
+Layout: activations NHWC, conv kernels HWIO (XLA-preferred on TPU, feeds
+the MXU without transposes).  PyTorch semantic parity is kept where it
+affects numerics:
+
+* ``Conv2d``            -> ``conv2d``           (cross-correlation, bias)
+* ``ConvTranspose2d``   -> ``conv2d_transpose`` (incl. ``output_padding``)
+* ``InstanceNorm2d``    -> ``instance_norm``    (affine=False, eps=1e-5,
+                                                 biased variance)
+* ``LeakyReLU``         -> slope 0.01 (torch default)
+* ``GaussianNoiseLayer``-> additive N(0,1), train only
+                           (common_net.py:32-40)
+* weight init           -> N(0, 0.02) conv weights
+                           (src/trainers/init.py:8-12), torch-default
+                           uniform elsewhere
+
+apply signature: ``apply(params, x, rng=None, train=False)``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class Layer(NamedTuple):
+    init: Callable[[jax.Array], Any]
+    apply: Callable[..., jax.Array]
+
+
+# ---------------------------------------------------------------------------
+# initializers (PyTorch-parity distributions)
+# ---------------------------------------------------------------------------
+
+def _torch_uniform_bound(fan_in: int) -> float:
+    return 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+
+
+def gaussian_conv_init(key, shape, std=0.02):
+    """N(0, 0.02) — the reference's gaussian_weights_init (init.py:8-12)."""
+    return std * jax.random.normal(key, shape, jnp.float32)
+
+
+def torch_uniform_init(key, shape, fan_in):
+    b = _torch_uniform_bound(fan_in)
+    return jax.random.uniform(key, shape, jnp.float32, -b, b)
+
+
+# ---------------------------------------------------------------------------
+# conv / linear primitives
+# ---------------------------------------------------------------------------
+
+_DIMSPEC = ("NHWC", "HWIO", "NHWC")
+
+
+def conv2d(n_in: int, n_out: int, kernel_size: int, stride: int = 1,
+           padding: int = 0, groups: int = 1, bias: bool = True,
+           w_init=None) -> Layer:
+    """PyTorch-parity Conv2d. Kernel stored HWIO: (kh, kw, in/groups, out)."""
+    k = kernel_size
+
+    def init(key):
+        kw_, kb_ = jax.random.split(key)
+        shape = (k, k, n_in // groups, n_out)
+        if w_init is None:
+            w = gaussian_conv_init(kw_, shape)
+        else:
+            w = w_init(kw_, shape)
+        p = {"w": w}
+        if bias:
+            fan_in = (n_in // groups) * k * k
+            p["b"] = torch_uniform_init(kb_, (n_out,), fan_in)
+        return p
+
+    def apply(params, x, rng=None, train=False):
+        y = jax.lax.conv_general_dilated(
+            x, params["w"], window_strides=(stride, stride),
+            padding=[(padding, padding), (padding, padding)],
+            dimension_numbers=_DIMSPEC, feature_group_count=groups,
+        )
+        if bias:
+            y = y + params["b"]
+        return y
+
+    return Layer(init, apply)
+
+
+def conv2d_transpose(n_in: int, n_out: int, kernel_size: int,
+                     stride: int = 1, padding: int = 0,
+                     output_padding: int = 0, bias: bool = True,
+                     w_init=None) -> Layer:
+    """PyTorch-parity ConvTranspose2d.
+
+    Implemented as an input-dilated convolution with a spatially-flipped
+    kernel: out = (in-1)*s - 2p + k + output_padding, identical to torch.
+    Kernel stored HWIO with I=n_in, O=n_out (flip applied at call time so
+    checkpoint conversion from torch is a pure transpose).
+    """
+    k = kernel_size
+    pad_lo = k - 1 - padding
+    pad_hi = k - 1 - padding + output_padding
+
+    def init(key):
+        kw_, kb_ = jax.random.split(key)
+        shape = (k, k, n_in, n_out)
+        if w_init is None:
+            w = gaussian_conv_init(kw_, shape)
+        else:
+            w = w_init(kw_, shape)
+        p = {"w": w}
+        if bias:
+            # torch fan_in for ConvTranspose2d weight (in,out,kh,kw): out*k*k
+            p["b"] = torch_uniform_init(kb_, (n_out,), n_out * k * k)
+        return p
+
+    def apply(params, x, rng=None, train=False):
+        w = jnp.flip(params["w"], (0, 1))
+        y = jax.lax.conv_general_dilated(
+            x, w, window_strides=(1, 1),
+            padding=[(pad_lo, pad_hi), (pad_lo, pad_hi)],
+            lhs_dilation=(stride, stride),
+            dimension_numbers=_DIMSPEC,
+        )
+        if bias:
+            y = y + params["b"]
+        return y
+
+    return Layer(init, apply)
+
+
+def linear(n_in: int, n_out: int, bias: bool = True, w_init=None,
+           b_init=None) -> Layer:
+    """PyTorch-parity Linear; weight stored (in, out)."""
+
+    def init(key):
+        kw_, kb_ = jax.random.split(key)
+        if w_init is None:
+            w = torch_uniform_init(kw_, (n_in, n_out), n_in)
+        else:
+            w = w_init(kw_, (n_in, n_out))
+        p = {"w": w}
+        if bias:
+            if b_init is None:
+                p["b"] = torch_uniform_init(kb_, (n_out,), n_in)
+            else:
+                p["b"] = b_init(kb_, (n_out,))
+        return p
+
+    def apply(params, x, rng=None, train=False):
+        y = jnp.dot(x, params["w"], preferred_element_type=jnp.float32)
+        if bias:
+            y = y + params["b"]
+        return y
+
+    return Layer(init, apply)
+
+
+# ---------------------------------------------------------------------------
+# norms / activations / noise
+# ---------------------------------------------------------------------------
+
+def instance_norm(x, eps: float = 1e-5):
+    """InstanceNorm2d(affine=False) on NHWC: normalize each (n, c) plane
+    over H, W with biased variance (torch parity)."""
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=(1, 2), keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+def instance_norm_layer(eps: float = 1e-5) -> Layer:
+    return Layer(lambda key: {},
+                 lambda p, x, rng=None, train=False: instance_norm(x, eps))
+
+
+def leaky_relu(x, slope: float = 0.01):
+    return jnp.where(x >= 0, x, slope * x)
+
+
+def leaky_relu_layer(slope: float = 0.01) -> Layer:
+    return Layer(lambda key: {},
+                 lambda p, x, rng=None, train=False: leaky_relu(x, slope))
+
+
+def relu_layer() -> Layer:
+    return Layer(lambda key: {},
+                 lambda p, x, rng=None, train=False: jnp.maximum(x, 0))
+
+
+def tanh_layer() -> Layer:
+    return Layer(lambda key: {},
+                 lambda p, x, rng=None, train=False: jnp.tanh(x))
+
+
+def gaussian_noise_layer() -> Layer:
+    """Additive unit gaussian noise, active only in training
+    (reference common_net.py:32-40)."""
+
+    def apply(p, x, rng=None, train=False):
+        if not train:
+            return x
+        if rng is None:
+            raise ValueError("gaussian_noise_layer needs rng when train=True")
+        return x + jax.random.normal(rng, x.shape, x.dtype)
+
+    return Layer(lambda key: {}, apply)
+
+
+def dropout_layer(rate: float) -> Layer:
+    def apply(p, x, rng=None, train=False):
+        if not train or rate <= 0.0:
+            return x
+        keep = 1.0 - rate
+        mask = jax.random.bernoulli(rng, keep, x.shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+    return Layer(lambda key: {}, apply)
+
+
+# ---------------------------------------------------------------------------
+# composition
+# ---------------------------------------------------------------------------
+
+def sequential(*layers: Layer) -> Layer:
+    """Compose layers; params is a list. RNG is split per layer."""
+    layers = tuple(layers)
+
+    def init(key):
+        keys = jax.random.split(key, max(len(layers), 1))
+        return [l.init(k) for l, k in zip(layers, keys)]
+
+    def apply(params, x, rng=None, train=False):
+        rngs = (jax.random.split(rng, len(layers)) if rng is not None
+                else [None] * len(layers))
+        for l, p, r in zip(layers, params, rngs):
+            x = l.apply(p, x, rng=r, train=train)
+        return x
+
+    return Layer(init, apply)
+
+
+def residual(body: Layer) -> Layer:
+    def init(key):
+        return body.init(key)
+
+    def apply(params, x, rng=None, train=False):
+        return x + body.apply(params, x, rng=rng, train=train)
+
+    return Layer(init, apply)
+
+
+# ---------------------------------------------------------------------------
+# reference composite blocks (common_net.py)
+# ---------------------------------------------------------------------------
+
+def leaky_relu_conv2d(n_in, n_out, kernel_size, stride, padding=0) -> Layer:
+    """LeakyReLUConv2d (common_net.py:246-256)."""
+    return sequential(conv2d(n_in, n_out, kernel_size, stride, padding),
+                      leaky_relu_layer())
+
+
+def leaky_relu_conv_transpose2d(n_in, n_out, kernel_size, stride, padding=0,
+                                output_padding=0) -> Layer:
+    """LeakyReLUConvTranspose2d (common_net.py:258-268)."""
+    return sequential(
+        conv2d_transpose(n_in, n_out, kernel_size, stride, padding,
+                         output_padding),
+        leaky_relu_layer())
+
+
+def leaky_relu_linear(n_in, n_out) -> Layer:
+    """LeakyReLULinear (common_net.py:221-231)."""
+    return sequential(linear(n_in, n_out), leaky_relu_layer())
+
+
+def leaky_ins_res_block(n_in, n_out, dropout: float = 0.0) -> Layer:
+    """LeakyINSResBlock (common_net.py:160-181): two 3x3 convs with
+    InstanceNorm, LeakyReLU between, residual add."""
+    body = [
+        conv2d(n_in, n_out, 3, 1, 1),
+        instance_norm_layer(),
+        leaky_relu_layer(),
+        conv2d(n_out, n_out, 3, 1, 1),
+        instance_norm_layer(),
+    ]
+    if dropout > 0:
+        body.append(dropout_layer(dropout))
+    return residual(sequential(*body))
+
+
+def ins_res_block(n_in, n_out, dropout: float = 0.0) -> Layer:
+    """INSResBlock (common_net.py:137-158) — ReLU variant."""
+    body = [
+        conv2d(n_in, n_out, 3, 1, 1),
+        instance_norm_layer(),
+        relu_layer(),
+        conv2d(n_out, n_out, 3, 1, 1),
+        instance_norm_layer(),
+    ]
+    if dropout > 0:
+        body.append(dropout_layer(dropout))
+    return residual(sequential(*body))
+
+
+def leaky_ins_resnext_block(n_in, n_out, k: int = 2, cardinality: int = 8,
+                            dropout: float = 0.0) -> Layer:
+    """LeakyINSResNeXtBlock (common_net.py:111-132): 1x1 expand -> grouped
+    3x3 -> 1x1 project, IN + LeakyReLU, residual add."""
+    mid = k * n_in
+    body = [
+        conv2d(n_in, mid, 1, 1, 0),
+        instance_norm_layer(),
+        leaky_relu_layer(),
+        conv2d(mid, mid, 3, 1, 1, groups=cardinality),
+        instance_norm_layer(),
+        leaky_relu_layer(),
+        conv2d(mid, n_out, 1, 1, 0),
+        instance_norm_layer(),
+    ]
+    if dropout > 0:
+        body.append(dropout_layer(dropout))
+    return residual(sequential(*body))
+
+
+# ---------------------------------------------------------------------------
+# misc heads used by models
+# ---------------------------------------------------------------------------
+
+def softplus(x):
+    return jax.nn.softplus(x)
