@@ -1,0 +1,78 @@
+"""Shared CLI plumbing for the training entry points."""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+# persistent XLA compilation cache (first compile of the big update
+# graphs is minutes; subsequent CLI launches reuse it)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/lsps_tpu_jax"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+import numpy as np
+
+from lsps_tpu.config import NetConfig
+from lsps_tpu.eval import (ICVLHandposeEvaluation, NYUHandposeEvaluation,
+                           HandposeEvaluation)
+from lsps_tpu.registry import lookup
+from lsps_tpu.utils.skeleton import tables_for
+
+# import for registration side effects
+import lsps_tpu.data.datasets  # noqa: F401
+import lsps_tpu.data.synthetic  # noqa: F401
+import lsps_tpu.train.trainer  # noqa: F401
+
+
+def base_parser(description: str) -> argparse.ArgumentParser:
+    """Flags mirroring the reference CLIs (pose_train.py:29-34,
+    depth_train.py:26-34); ``--gpu`` becomes ``--device``."""
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--device", "--gpu", type=int, default=0,
+                   help="device index")
+    p.add_argument("--resume", type=int, default=0)
+    p.add_argument("--frac", type=float, default=1.0,
+                   help="fraction of real labels to use")
+    p.add_argument("--config", type=str, required=True)
+    p.add_argument("--log", type=str, default="./logs")
+    p.add_argument("--seed", type=int, default=23455)
+    p.add_argument("--max-iterations", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None,
+                   help="override config batch size (TPU efficiency knob)")
+    p.add_argument("--profile-dir", type=str, default=None,
+                   help="write a jax.profiler trace here")
+    return p
+
+
+def select_eval(config_path: str):
+    """Evaluation class + skeleton tables by config name
+    (pose_train.py:66-75)."""
+    color_idx, bones = tables_for(os.path.basename(config_path))
+    if "icvl" in config_path:
+        return ICVLHandposeEvaluation, color_idx, bones
+    if "nyu" in config_path:
+        return NYUHandposeEvaluation, color_idx, bones
+    return HandposeEvaluation, color_idx, bones
+
+
+def load_experiment(opts):
+    config = NetConfig(opts.config)
+    if opts.max_iterations is not None:
+        config.hyperparameters["max_iterations"] = opts.max_iterations
+    return config
+
+
+def make_datasets(config):
+    from lsps_tpu.data.loader import get_dataset
+
+    ds_a = get_dataset(config.datasets["train_a"])
+    ds_b = get_dataset(config.datasets["train_b"])
+    ds_test = get_dataset(config.datasets["test_b"])
+    return ds_a, ds_b, ds_test
+
+
+def make_trainer(config, sch_interval: int):
+    cls = lookup("trainer", config.hyperparameters.get("trainer",
+                                                       "LSPSTrainer"))
+    return cls(config.hyperparameters, sch_interval=sch_interval)

@@ -1,0 +1,245 @@
+"""Depth training CLI (README steps 2-3).
+
+Reference loop: src/depth_train.py:63-265 — two modes:
+
+* ``--mode pretrain``: adversarial dual-domain VAE-GAN, alternating
+  ``dis_update`` + ``gen_update`` per iteration (batch 1, like UNIT;
+  override with ``--batch-size`` for TPU efficiency).
+* ``--mode estimateN`` (N in 0/1/3/4/5): posterior-regression training
+  via ``post_update``, with periodic test-set eval (mean mm error, %
+  frames within 40 mm, gen.avi video, _test.jpg grid).
+
+Usage: ``python -m lsps_tpu.cli.depth_train --config exps/nnyu.yaml
+--mode pretrain``; then ``--mode estimate3 --frac 0.1``.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from lsps_tpu.cli import common as C
+from lsps_tpu.data.loader import get_data_loader
+from lsps_tpu.eval.handpose_evaluation import NYU_RESTRICTED_EVAL
+from lsps_tpu.utils import viz
+from lsps_tpu.utils.logging import (MetricsWriter,
+                                    prepare_snapshot_and_image_folder,
+                                    profile_trace, write_loss, write_html)
+
+MAX_EPOCHS = 100000
+
+
+def main(argv=None):
+    parser = C.base_parser("LSPS-TPU depth VAE-GAN / estimation training")
+    parser.add_argument("--mode", type=str, required=True,
+                        help="pretrain | estimate{0,1,3,4,5}")
+    parser.add_argument("--idx", type=int, default=-1,
+                        help="pretrain checkpoint index to load")
+    opts = parser.parse_args(argv)
+
+    estimate = "estimate" in opts.mode
+    mode_idx = int(opts.mode[-1]) if estimate else -1
+
+    Evaluation, color_idx, bones = C.select_eval(opts.config)
+    config = C.load_experiment(opts)
+    hyp = config.hyperparameters
+
+    # batch sizes (depth_train.py:85-86): estimate uses config batch size,
+    # pretrain uses 1 (UNIT-style); --batch-size overrides both.
+    batch_size = opts.batch_size or (hyp["batch_size"] if estimate else 1)
+    test_batch_size = batch_size * 32
+    max_iterations = hyp["max_iterations"]
+    frac = opts.frac
+
+    dataset_a, dataset_b, dataset_test = C.make_datasets(config)
+    trainer = C.make_trainer(config,
+                             sch_interval=100 if estimate else 1000)
+    state = trainer.init_state(jax.random.PRNGKey(opts.seed))
+    di_b = dataset_b.di
+
+    iterations = 0
+    if opts.resume == 1:
+        state, iterations = trainer.resume(state, config.snapshot_prefix,
+                                           idx=-1, load_opt=True)
+        # LR schedules are pure functions of the step count; no replay
+        # needed (cf. depth_train.py:111-113)
+
+    # VAE checkpoint is a hard dependency of estimate3/4
+    # (depth_train.py:118-124)
+    try:
+        vae_frac = 2 + frac if (estimate and mode_idx in (3, 4)) else frac
+        state, ok = trainer.load_vae(state, config.snapshot_prefix, vae_frac)
+        if not ok:
+            print("Failed to load the parameters of vae")
+    except Exception as e:
+        print(f"Failed to load the parameters of vae ({e})")
+
+    if estimate:
+        if opts.idx != 0:
+            state, _ = trainer.resume(state, config.snapshot_prefix,
+                                      idx=opts.idx, est=mode_idx == 5)
+        if 0.0 < frac < 1.0:
+            dataset_b.set_nmax(frac)
+
+    loader_a = get_data_loader(dataset_a, batch_size, shuffle=True,
+                               seed=opts.seed)
+    loader_b = get_data_loader(dataset_b, batch_size, shuffle=True,
+                               seed=opts.seed + 1)
+    test_loader = get_data_loader(dataset_test, test_batch_size,
+                                  shuffle=False)
+
+    writer = MetricsWriter(os.path.join(
+        opts.log, os.path.splitext(os.path.basename(opts.config))[0]))
+    image_dir, snap_dir = prepare_snapshot_and_image_folder(
+        config.snapshot_prefix, iterations, config.image_save_iterations)
+
+    if min(len(dataset_a), len(dataset_b)) < batch_size:
+        raise ValueError(
+            f"batch_size {batch_size} exceeds dataset sizes "
+            f"({len(dataset_a)}, {len(dataset_b)}); every batch would be "
+            "skipped (cf. reference depth_train.py:143-144)")
+
+    print(f"using {frac:.2f} percent of the labeled real data")
+    best_err, best_acc = 100.0, 0.0
+    rng = jax.random.PRNGKey(opts.seed + 13)
+    start = time.time()
+    with profile_trace(opts.profile_dir):
+        for ep in range(MAX_EPOCHS):
+            for batch_a, batch_b in zip(iter(loader_a), iter(loader_b)):
+                images_a, labels_a, com_a, m_a, cube_a = batch_a[:5]
+                images_b, labels_b, com_b, m_b, cube_b = batch_b[:5]
+                if (images_a.shape[0] != batch_size
+                        or images_b.shape[0] != batch_size):
+                    continue
+                # NCHW (1,H,W) sample layout -> NHWC device layout
+                images_a = jnp.asarray(
+                    np.transpose(images_a, (0, 2, 3, 1)))
+                images_b = jnp.asarray(
+                    np.transpose(images_b, (0, 2, 3, 1)))
+                labels_a = jnp.asarray(labels_a)
+                labels_b = jnp.asarray(labels_b)
+
+                rng = jax.random.fold_in(rng, iterations)
+                if not estimate:
+                    r1, r2 = jax.random.split(rng)
+                    state, dmet, _ = trainer.dis_update(
+                        state, images_a, labels_a, images_b, labels_b, r1)
+                    state, gmet, outs = trainer.gen_update(
+                        state, images_a, labels_a, images_b, labels_b, r2)
+                    metrics = {**dmet, **gmet}
+                    assembled = trainer.assemble_outputs(images_a, images_b,
+                                                         outs)
+                else:
+                    state, metrics, outs = trainer.post_update(
+                        state, images_a, labels_a, images_b, labels_b, rng,
+                        mode=mode_idx)
+                    assembled = trainer.assemble_outputs(images_a, images_b,
+                                                         outs)
+
+                if (iterations + 1) % config.display == 0:
+                    write_loss(iterations, max_iterations, metrics, writer,
+                               time.time() - start)
+                    start = time.time()
+
+                if (iterations + 1) % config.image_display_iterations == 0:
+                    viz.save_image_strip(assembled,
+                                         os.path.join(image_dir, "gen.jpg"))
+
+                if (iterations + 1) % config.image_save_iterations == 0:
+                    if not estimate:
+                        viz.save_image_strip(
+                            assembled,
+                            os.path.join(image_dir,
+                                         f"gen_{iterations + 1:08d}.jpg"))
+                        write_html(os.path.join(snap_dir, "index.html"),
+                                   iterations + 1,
+                                   config.image_save_iterations, image_dir)
+                    else:
+                        err, acc = evaluate_estimation(
+                            trainer, state, test_loader, di_b, Evaluation,
+                            color_idx, bones, image_dir, mode_idx,
+                            "nyu" in opts.config)
+                        best_err = min(best_err, err)
+                        best_acc = max(best_acc, acc)
+                        print(f"------------ Mean err: {err:.4f} "
+                              f"({best_err:.4f}) mm, Max over 40mm: "
+                              f"{acc:.2f} ({best_acc:.2f}) %")
+
+                if (iterations + 1) % config.snapshot_save_iterations == 0:
+                    prefix = (config.snapshot_prefix + "_est" if estimate
+                              else config.snapshot_prefix)
+                    trainer.save(state, prefix, iterations)
+
+                iterations += 1
+                if iterations >= max_iterations:
+                    writer.close()
+                    return
+
+
+def evaluate_estimation(trainer, state, test_loader, di_b, Evaluation,
+                        color_idx, bones, image_dir, mode_idx,
+                        nyu_protocol):
+    """Test-set eval (depth_train.py:185-253): regress posterior ->
+    decode pose -> mm metrics + video/grid artifacts."""
+    import cv2
+
+    gt3d, joints = [], []
+    img2sav = None
+    vid = viz.EvalVideoWriter(os.path.join(image_dir, "gen.avi"))
+    params = state["params"]
+
+    regress = jax.jit(
+        lambda p, x: (trainer.dis.regress_a if mode_idx == 0
+                      else trainer.dis.regress_b)(p["dis"], x))
+    decode = jax.jit(lambda p, z: trainer.vae.decode(p["vae"], z))
+
+    for tit, batch in enumerate(iter(test_loader)):
+        imgs, labels, com, trans, cube = batch[:5]
+        x = jnp.asarray(np.transpose(imgs, (0, 2, 3, 1)))
+        _, post, _ = regress(params, x)
+        pred = np.asarray(decode(params, post))
+
+        n = labels.shape[0]
+        gt_pose = labels.reshape(n, -1, 3)
+        pr_pose = pred.reshape(n, -1, 3)
+
+        if tit < 20:
+            for i in range(0, n, 4):
+                real = viz.vis_pair(di_b.camera, imgs[i],
+                                    gt_pose[i].reshape(-1), trans[i],
+                                    com[i], cube[i], color_idx, bones)
+                est = viz.vis_pair(di_b.camera, imgs[i],
+                                   pr_pose[i].reshape(-1), trans[i],
+                                   com[i], cube[i], color_idx, bones)
+                vid.write_pair(real, est)
+            if tit < 8:
+                col = np.vstack((real, est))
+                img2sav = col if img2sav is None else np.hstack(
+                    (img2sav, col))
+
+        if nyu_protocol:  # 14-joint protocol (depth_train.py:231-234)
+            gt_pose = gt_pose[:, NYU_RESTRICTED_EVAL]
+            pr_pose = pr_pose[:, NYU_RESTRICTED_EVAL]
+        for i in range(n):
+            gt3d.append(gt_pose[i] * (cube[i, 0] / 2.0) + com[i])
+            joints.append(pr_pose[i] * (cube[i, 0] / 2.0) + com[i])
+
+    if img2sav is not None:
+        cv2.imwrite(os.path.join(image_dir, "_test.jpg"),
+                    img2sav.astype("uint8"))
+    vid.release()
+
+    hpe = Evaluation(np.array(gt3d), np.array(joints))
+    mean_err = hpe.getMeanError()
+    over_40 = 100.0 * hpe.getNumFramesWithinMaxDist(40) / len(gt3d)
+    return mean_err, over_40
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -80,6 +80,11 @@ def load_config(path: str) -> NetConfig:
     return NetConfig(path)
 
 
+class SettingConfig(NetConfig):
+    """Alias kept for reference API surface (net_config.py:29-40 — the
+    reference's SettingConfig is byte-identical to NetConfig)."""
+
+
 # ---------------------------------------------------------------------------
 # Default hyperparameters (reference exps/nnyu.yaml:9-60); used by tests and
 # synthetic runs so the framework works stand-alone without dataset files.

@@ -1,0 +1,258 @@
+"""Hand-pose accuracy metrics and plots.
+
+Reference: src/utils/handpose_evaluation.py:41-346 (metric formulas) and
+the per-dataset joint-name/connection subclasses (:684-913).  All metrics
+are vectorized over (N, J, 3) arrays; NaN-tolerant like the reference
+(nanmean/nanmax).  ``legacy.Evaluation`` covers src/utils/evaluation.py
+(mm errors on x50-denormalized poses restricted to the NYU 14-joint
+protocol).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+# NYU 14-joint evaluation protocol (reference importers.py:984,
+# depth_train.py:231-234)
+NYU_RESTRICTED_EVAL = np.asarray([0, 3, 6, 9, 12, 15, 18, 21, 24, 25, 27,
+                                  30, 31, 32])
+
+
+class HandposeEvaluation:
+    """mm-space joint error metrics over (gt, pred) arrays of (N, J, 3)."""
+
+    def __init__(self, gtjoints, joints, dolegend=True, linewidth=1):
+        gtjoints = np.asarray(gtjoints, np.float64)
+        joints = np.asarray(joints, np.float64)
+        if gtjoints.shape != joints.shape or gtjoints.size == 0:
+            raise ValueError(
+                f"shape mismatch or empty: {gtjoints.shape} vs "
+                f"{joints.shape}")
+        self.gtjoints = gtjoints
+        self.joints = joints
+        self.dolegend = dolegend
+        self.linewidth = linewidth
+        self.subfolder = "./eval/"
+        self.jointNames: Optional[Sequence[str]] = None
+        self.jointConnections: List = []
+        self.jointConnectionColors: List = []
+        self.plotMaxJointDist = 80
+        self.plotMeanJointDist = 80
+
+    # -- core distances ----------------------------------------------------
+    def _dists(self) -> np.ndarray:
+        """(N, J) Euclidean joint errors."""
+        return np.sqrt(np.square(self.gtjoints - self.joints).sum(axis=2))
+
+    # -- scalar metrics (handpose_evaluation.py:92-228) ---------------------
+    def getMeanError(self) -> float:
+        return float(np.nanmean(np.nanmean(self._dists(), axis=1)))
+
+    def getStdError(self) -> float:
+        return float(np.nanmean(np.nanstd(self._dists(), axis=1)))
+
+    def getMeanErrorOverSeq(self) -> np.ndarray:
+        return np.nanmean(self._dists(), axis=1)
+
+    def getMedianError(self) -> float:
+        return float(np.nanmedian(self._dists()))
+
+    def getMaxError(self) -> float:
+        return float(np.nanmax(self._dists()))
+
+    def getMaxErrorOverSeq(self) -> np.ndarray:
+        return np.nanmax(self._dists(), axis=1)
+
+    def getJointMeanError(self, joint_id) -> float:
+        return float(np.nanmean(self._dists()[:, joint_id]))
+
+    def getJointStdError(self, joint_id) -> float:
+        return float(np.nanstd(self._dists()[:, joint_id]))
+
+    def getJointErrorOverSeq(self, joint_id) -> np.ndarray:
+        return self._dists()[:, joint_id]
+
+    def getJointDiffOverSeq(self, joint_id) -> np.ndarray:
+        return self.gtjoints[:, joint_id, :] - self.joints[:, joint_id, :]
+
+    def getJointMaxError(self, joint_id) -> float:
+        return float(np.nanmax(self._dists()[:, joint_id]))
+
+    def getNumFramesWithinMaxDist(self, dist) -> int:
+        return int((np.nanmax(self._dists(), axis=1) <= dist).sum())
+
+    def getNumFramesWithinMeanDist(self, dist) -> int:
+        return int((np.nanmean(self._dists(), axis=1) <= dist).sum())
+
+    def getNumFramesWithinMedianDist(self, dist) -> int:
+        return int((np.median(self._dists(), axis=1) <= dist).sum())
+
+    def getJointNumFramesWithinMaxDist(self, dist, joint_id) -> int:
+        return int((self._dists()[:, joint_id] <= dist).sum())
+
+    # -- plots (handpose_evaluation.py:230-346) -----------------------------
+    def plotEvaluation(self, basename, method_name="Our method",
+                       baseline=None) -> None:
+        """Save frames-within-distance curve + per-joint mean/max bars as
+        PDFs into ``self.subfolder``."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        import os
+
+        os.makedirs(self.subfolder, exist_ok=True)
+        n = float(self.joints.shape[0])
+        series = [(method_name, self)] + list(baseline or [])
+
+        fig, ax = plt.subplots()
+        for name, ev in series:
+            ax.plot([ev.getNumFramesWithinMaxDist(j) / n * 100.0
+                     for j in range(self.plotMaxJointDist)], label=name)
+        ax.set_xlabel("Distance threshold / mm")
+        ax.set_ylabel("Fraction of frames within distance / %")
+        ax.set_ylim(0, 100)
+        ax.grid(True)
+        if self.dolegend:
+            ax.legend(loc="lower right")
+        fig.savefig(f"{self.subfolder}/{basename}_frameswithin.pdf",
+                    bbox_inches="tight")
+        plt.close(fig)
+
+        nj = self.joints.shape[1]
+        width = (1 - 0.33) / len(series)
+        ind = np.arange(nj + 1)
+        fig, ax = plt.subplots()
+        for i, (name, ev) in enumerate(series):
+            mean = [ev.getJointMeanError(j) for j in range(nj)]
+            mean.append(ev.getMeanError())
+            ax.bar(ind + width * i, mean, width, label=name)
+        ax.set_xticks(ind + width)
+        labels = list(self.jointNames or [str(j) for j in range(nj)])
+        ax.set_xticklabels(labels + ["Avg"], rotation=90)
+        ax.set_ylabel("Mean error of joint / mm")
+        if self.dolegend:
+            ax.legend()
+        fig.savefig(f"{self.subfolder}/{basename}_joint_mean.pdf",
+                    bbox_inches="tight")
+        plt.close(fig)
+
+        fig, ax = plt.subplots()
+        for i, (name, ev) in enumerate(series):
+            ax.bar(np.arange(nj) + width * i,
+                   [ev.getJointMaxError(j) for j in range(nj)], width,
+                   label=name)
+        ax.set_xticks(np.arange(nj) + width)
+        ax.set_xticklabels(labels, rotation=90)
+        ax.set_ylabel("Maximum error of joint / mm")
+        ax.set_ylim(0, 200)
+        if self.dolegend:
+            ax.legend()
+        fig.savefig(f"{self.subfolder}/{basename}_joint_max.pdf",
+                    bbox_inches="tight")
+        plt.close(fig)
+
+
+    def plotResult(self, dpt, gtcrop, joint, name=None, show_gt=True,
+                   upsample=4.0, annoscale=1):
+        """Annotated depth image with gt (red) and prediction (blue)
+        skeletons (handpose_evaluation.py:348-486).  Returns the image
+        when ``name`` is None, else saves it."""
+        import cv2
+
+        img = np.asarray(dpt, np.float32).copy()
+        lo, hi = img.min(), img.max()
+        img = (img - lo) / max(hi - lo, 1e-6) * 255.0
+        img = cv2.cvtColor(img.astype("uint8"), cv2.COLOR_GRAY2BGR)
+        if upsample != 1.0:
+            img = cv2.resize(img, None, fx=upsample, fy=upsample,
+                             interpolation=cv2.INTER_NEAREST)
+
+        def draw(pts, color):
+            pts = np.asarray(pts)[:, :2] * upsample
+            for c in self.jointConnections or []:
+                p0, p1 = pts[c[0]].astype(int), pts[c[1]].astype(int)
+                cv2.line(img, tuple(p0), tuple(p1), color, annoscale)
+            for p in pts.astype(int):
+                cv2.circle(img, tuple(p), 2 * annoscale, color, -1)
+
+        if show_gt and gtcrop is not None:
+            draw(gtcrop, (0, 0, 255))
+        if joint is not None:
+            draw(joint, (255, 0, 0))
+        if name is None:
+            return img
+        cv2.imwrite(name, img)
+        return None
+
+
+class NYUHandposeEvaluation(HandposeEvaluation):
+    """NYU joint names/skeleton (handpose_evaluation.py:740-850)."""
+
+    def __init__(self, gtjoints, joints, joint_subset="all", **kw):
+        super().__init__(gtjoints, joints, **kw)
+        if joint_subset == "eval" or np.asarray(gtjoints).shape[1] == 14:
+            self.jointNames = ["P1", "P2", "R1", "R2", "M1", "M2", "I1",
+                               "I2", "T1", "T2", "T3", "W1", "W2", "C"]
+        else:
+            self.jointNames = [f"J{i}" for i
+                               in range(np.asarray(gtjoints).shape[1])]
+        self.plotMaxJointDist = 80
+
+
+class ICVLHandposeEvaluation(HandposeEvaluation):
+    """ICVL joint names/skeleton (handpose_evaluation.py:684-737)."""
+
+    def __init__(self, gtjoints, joints, **kw):
+        super().__init__(gtjoints, joints, **kw)
+        self.jointNames = ["C", "T1", "T2", "T3", "I1", "I2", "I3",
+                           "M1", "M2", "M3", "R1", "R2", "R3",
+                           "P1", "P2", "P3"]
+        self.plotMaxJointDist = 80
+
+
+class MSRAHandposeEvaluation(HandposeEvaluation):
+    """MSRA joint names/skeleton (handpose_evaluation.py:853-913)."""
+
+    def __init__(self, gtjoints, joints, **kw):
+        super().__init__(gtjoints, joints, **kw)
+        self.jointNames = ["C"] + [f"{f}{i}" for f in "TIMRP"
+                                   for i in range(1, 5)]
+        self.plotMaxJointDist = 80
+
+
+class Evaluation:
+    """Legacy mm-error helpers on x50-denormalized poses restricted to the
+    NYU 14-joint protocol (reference src/utils/evaluation.py:5-77)."""
+
+    SCALE = 50.0
+
+    @classmethod
+    def maxJntError(cls, skel1, skel2) -> float:
+        diff = np.linalg.norm(
+            (np.asarray(skel1).reshape(-1, 3)
+             - np.asarray(skel2).reshape(-1, 3)) * cls.SCALE, axis=1)
+        return float(diff[NYU_RESTRICTED_EVAL].max())
+
+    @classmethod
+    def meanJntError(cls, skel1, skel2) -> float:
+        diff = np.linalg.norm(
+            (np.asarray(skel1).reshape(-1, 3)
+             - np.asarray(skel2).reshape(-1, 3)) * cls.SCALE, axis=1)
+        return float(diff[NYU_RESTRICTED_EVAL].mean())
+
+    @classmethod
+    def plotError(cls, score_list, fig_path) -> float:
+        """Write the threshold curve as text; return %<=40.5mm
+        (evaluation.py:29-77)."""
+        scores = np.sort(np.asarray(score_list, np.float64))
+        err40 = float((scores <= 40.5).mean()) if scores.size else 0.0
+        thresholds = [t * 5.0 + 0.5 for t in range(17)]
+        with open(fig_path, "w") as f:
+            for th in thresholds:
+                pct = float((scores < th).mean()) * 100.0 if scores.size \
+                    else 0.0
+                f.write(f"{th:f} {pct:f}\n")
+        return err40

@@ -117,14 +117,14 @@ def conv2d_transpose(n_in: int, n_out: int, kernel_size: int,
             w = gaussian_conv_init(kw_, shape)
         else:
             w = w_init(kw_, shape)
-        p = {"w": w}
+        p = {"wt": w}  # "wt" marks transposed-conv weights for converters
         if bias:
             # torch fan_in for ConvTranspose2d weight (in,out,kh,kw): out*k*k
             p["b"] = torch_uniform_init(kb_, (n_out,), n_out * k * k)
         return p
 
     def apply(params, x, rng=None, train=False):
-        w = jnp.flip(params["w"], (0, 1))
+        w = jnp.flip(params["wt"], (0, 1))
         y = jax.lax.conv_general_dilated(
             x, w, window_strides=(1, 1),
             padding=[(pad_lo, pad_hi), (pad_lo, pad_hi)],
@@ -282,19 +282,37 @@ def leaky_relu_linear(n_in, n_out) -> Layer:
     return sequential(linear(n_in, n_out), leaky_relu_layer())
 
 
+def fused_in_lrelu_layer() -> Layer:
+    """InstanceNorm + LeakyReLU as one op — Pallas kernel on TPU
+    (ops/pallas/norm_act.py), mathematically identical to the
+    instance_norm_layer + leaky_relu_layer pair."""
+    from lsps_tpu.ops.pallas.norm_act import fused_instance_norm_leaky_relu
+
+    return Layer(lambda key: {},
+                 lambda p, x, rng=None, train=False:
+                 fused_instance_norm_leaky_relu(x))
+
+
 def leaky_ins_res_block(n_in, n_out, dropout: float = 0.0) -> Layer:
     """LeakyINSResBlock (common_net.py:160-181): two 3x3 convs with
-    InstanceNorm, LeakyReLU between, residual add."""
+    InstanceNorm, LeakyReLU between, residual add.  The IN+LeakyReLU
+    pair is fused (Pallas on TPU); param tree keeps a placeholder slot
+    so checkpoints stay layout-compatible with the unfused form."""
     body = [
         conv2d(n_in, n_out, 3, 1, 1),
-        instance_norm_layer(),
-        leaky_relu_layer(),
+        fused_in_lrelu_layer(),
+        noop_layer(),  # placeholder: keeps 5-slot layout (conv,IN,act,conv,IN)
         conv2d(n_out, n_out, 3, 1, 1),
         instance_norm_layer(),
     ]
     if dropout > 0:
         body.append(dropout_layer(dropout))
     return residual(sequential(*body))
+
+
+def noop_layer() -> Layer:
+    return Layer(lambda key: {},
+                 lambda p, x, rng=None, train=False: x)
 
 
 def ins_res_block(n_in, n_out, dropout: float = 0.0) -> Layer:

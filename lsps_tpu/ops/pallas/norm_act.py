@@ -1,0 +1,169 @@
+"""Pallas TPU kernel: fused InstanceNorm + LeakyReLU with custom VJP.
+
+The generator's residual stack (SharedResGen, lsps_nets.py:164-272) runs
+IN -> LeakyReLU after every 3x3 conv at 32x32xC.  XLA fuses much of
+this, but the pattern reads the activation twice (mean, then var) before
+the normalize+activation pass; this kernel computes the moments and the
+normalized activation in one VMEM residency per (batch, H*W, C) plane,
+and the custom backward reuses saved (xhat, rstd) instead of
+recomputing moments.
+
+Layout: input NHWC reshaped to (B, H*W, C); grid over B; one program
+normalizes a full (H*W, C) plane held in VMEM (32*32*256 fp32 = 1 MB,
+well under the ~16 MB VMEM budget; 128*128*64 = 4 MB also fits).
+
+Falls back to the pure-jnp implementation when disabled (CPU tests) via
+``set_pallas_enabled``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+_ENABLED = None  # None = auto (TPU only)
+_INTERPRET = False  # tests: run pallas kernels in interpreter mode
+
+
+def set_pallas_interpret(value: bool) -> None:
+    global _INTERPRET
+    _INTERPRET = bool(value)
+
+
+def set_pallas_enabled(value) -> None:
+    """True/False force, None = auto-detect (enabled on TPU)."""
+    global _ENABLED
+    _ENABLED = value
+
+
+def pallas_enabled() -> bool:
+    if _ENABLED is not None:
+        return _ENABLED
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+EPS = 1e-5
+SLOPE = 0.01
+
+
+# ---------------------------------------------------------------------------
+# reference (pure jnp) path
+# ---------------------------------------------------------------------------
+
+def _jnp_fwd(x):
+    mean = jnp.mean(x, axis=1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + EPS)
+    xhat = (x - mean) * rstd
+    y = jnp.where(xhat >= 0, xhat, SLOPE * xhat)
+    return y, xhat, rstd
+
+
+# ---------------------------------------------------------------------------
+# pallas kernels
+# ---------------------------------------------------------------------------
+
+def _pallas_fwd(x):
+    from jax.experimental import pallas as pl
+
+    b, hw, c = x.shape
+    out_shapes = (
+        jax.ShapeDtypeStruct((b, hw, c), x.dtype),
+        jax.ShapeDtypeStruct((b, hw, c), x.dtype),
+        jax.ShapeDtypeStruct((b, 1, c), x.dtype),
+    )
+    spec = pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0))
+
+    def kernel(x_ref, y_ref, xhat_ref, rstd_ref):
+        x = x_ref[0]
+        mean = jnp.mean(x, axis=0, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=0, keepdims=True)
+        rstd = jax.lax.rsqrt(var + EPS)
+        xhat = (x - mean) * rstd
+        y_ref[0] = jnp.where(xhat >= 0, xhat, SLOPE * xhat)
+        xhat_ref[0] = xhat
+        rstd_ref[0] = rstd
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[spec],
+        out_specs=(spec, spec, pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0))),
+        out_shape=out_shapes,
+        interpret=_INTERPRET,
+    )(x)
+
+
+def _pallas_bwd(g, xhat, rstd):
+    from jax.experimental import pallas as pl
+
+    b, hw, c = g.shape
+    spec = pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0))
+    rspec = pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0))
+
+    def kernel(g_ref, xhat_ref, rstd_ref, dx_ref):
+        g = g_ref[0]
+        xhat = xhat_ref[0]
+        rstd = rstd_ref[0]
+        gp = jnp.where(xhat >= 0, g, SLOPE * g)
+        m1 = jnp.mean(gp, axis=0, keepdims=True)
+        m2 = jnp.mean(gp * xhat, axis=0, keepdims=True)
+        dx_ref[0] = rstd * (gp - m1 - xhat * m2)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[spec, spec, rspec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b, hw, c), g.dtype),
+        interpret=_INTERPRET,
+    )(g, xhat, rstd)
+
+
+# ---------------------------------------------------------------------------
+# public op with custom VJP (NHWC)
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def fused_instance_norm_leaky_relu(x):
+    """LeakyReLU(InstanceNorm(x)) on NHWC, fused on TPU via Pallas."""
+    y, _, _ = _fwd_impl(x)
+    return y
+
+
+def _fwd_impl(x):
+    b, h, w, c = x.shape
+    xr = x.reshape(b, h * w, c)
+    if pallas_enabled():
+        y, xhat, rstd = _pallas_fwd(xr)
+    else:
+        y, xhat, rstd = _jnp_fwd(xr)
+    return y.reshape(b, h, w, c), xhat, rstd
+
+
+def _vjp_fwd(x):
+    y, xhat, rstd = _fwd_impl(x)
+    return y, (xhat, rstd, x.shape)
+
+
+def _vjp_bwd(res, g):
+    xhat, rstd, shape = res
+    b, h, w, c = shape
+    gr = g.reshape(b, h * w, c)
+    if pallas_enabled():
+        dx = _pallas_bwd(gr, xhat, rstd)
+    else:
+        gp = jnp.where(xhat >= 0, gr, SLOPE * gr)
+        m1 = jnp.mean(gp, axis=1, keepdims=True)
+        m2 = jnp.mean(gp * xhat, axis=1, keepdims=True)
+        dx = rstd * (gp - m1 - xhat * m2)
+    return (dx.reshape(shape),)
+
+
+fused_instance_norm_leaky_relu.defvjp(_vjp_fwd, _vjp_bwd)

@@ -1,0 +1,4 @@
+from lsps_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh, batch_sharding, replicated, shard_batch, shard_state,
+    pjit_update,
+)

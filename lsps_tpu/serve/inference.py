@@ -1,0 +1,95 @@
+"""Fused depth -> pose inference and generative sampling.
+
+The deployed path of the reference (SURVEY.md §3.4, src/depth_train.py
+:197-206): crop -> normalize -> ``dis.regress_b`` -> ``vae.decode`` ->
+denormalize.  Here the whole chain is ONE jitted XLA program
+(optionally including on-device preprocessing), targeting the <=1 ms /
+frame north star on a single TPU chip.
+
+Also provides the latent-walk generative sampler behind the reference's
+NYU walk GIF (README.md:25-26): interpolate z codes and decode both
+domains through the generator.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from lsps_tpu.data.camera import Camera
+from lsps_tpu.models import build_model
+from lsps_tpu.serve.preprocess_jax import crop_normalize_batch
+
+
+class PoseEstimator:
+    """Single-program depth->pose estimator.
+
+    Construct from a trained state (``params`` with ``dis`` and ``vae``)
+    and the experiment hyperparameters.
+    """
+
+    def __init__(self, hyp: dict, params, camera: Optional[Camera] = None,
+                 domain: str = "b", dtype=jnp.float32):
+        self.dis = build_model(hyp["dis"])
+        self.vae = build_model(hyp["vae"])
+        self.camera = camera or Camera.nyu()
+        self.params = params
+        self.domain = domain
+        self.dtype = dtype
+        regress = (self.dis.regress_b if domain == "b"
+                   else self.dis.regress_a)
+
+        def _crops_to_pose(params, crops):
+            """(B, 128, 128, 1) normalized crops -> (B, reg_dim) pose."""
+            crops = crops.astype(dtype)
+            _, post, _ = regress(params["dis"], crops)
+            return self.vae.decode(params["vae"], post.astype(jnp.float32))
+
+        def _frames_to_pose(params, frames, coms, cubes):
+            """Raw frames + CoMs -> metric 3D joints, fully on device."""
+            crops, _ = crop_normalize_batch(frames, coms, cubes,
+                                            self.camera.fx, self.camera.fy)
+            pose = _crops_to_pose(params, crops[..., None])
+            j = pose.reshape(pose.shape[0], -1, 3)
+            com3d = jax.vmap(self.camera.img_to_3d)(coms)
+            return j * (cubes[:, 2:3, None] / 2.0) + com3d[:, None, :]
+
+        self._crops_to_pose = jax.jit(_crops_to_pose)
+        self._frames_to_pose = jax.jit(_frames_to_pose)
+
+    # ------------------------------------------------------------------
+    def predict_crops(self, crops) -> np.ndarray:
+        """Normalized (B, 128, 128, 1) crops -> (B, J*3) normalized pose."""
+        return np.asarray(self._crops_to_pose(self.params,
+                                              jnp.asarray(crops)))
+
+    def predict_frames(self, frames, coms, cubes) -> np.ndarray:
+        """Raw (B, H, W) frames + (B, 3) CoMs + (B, 3) cubes ->
+        (B, J, 3) metric joints (mm). One XLA program."""
+        return np.asarray(self._frames_to_pose(
+            self.params, jnp.asarray(frames, jnp.float32),
+            jnp.asarray(coms, jnp.float32), jnp.asarray(cubes, jnp.float32)))
+
+    def predict_frame(self, frame, com, cube) -> np.ndarray:
+        return self.predict_frames(frame[None], np.asarray(com)[None],
+                                   np.asarray(cube)[None])[0]
+
+
+def latent_walk(gen, gen_params, z_start, z_end, steps: int = 16,
+                rng=None):
+    """Decode an interpolation path through the generator's shared latent
+    (the generative result of the reference, README.md:25-26).
+
+    z_*: (H, W, C) shared-latent feature maps (e.g. from gen.encode).
+    Returns (steps, H, W, 1) arrays for both domains.
+    """
+    ts = jnp.linspace(0.0, 1.0, steps)[:, None, None, None]
+    zs = (1 - ts) * z_start[None] + ts * z_end[None]
+    out_a, out_b = jax.jit(
+        lambda p, z: gen.decode(p, z))(gen_params, zs)
+    return np.asarray(out_a), np.asarray(out_b)

@@ -1,0 +1,449 @@
+"""LSPS trainer: the four update rules as jitted pure functions.
+
+Reference: src/trainers/lsps_trainer.py.  The reference mutates four
+nn.Modules and three torch optimizers in-place; here the whole training
+state (4 param trees + 3 optax states + step) is one pytree and each
+update is a pure ``(state, batch, rng) -> (state, metrics, outputs)``
+function compiled once by XLA.  Loss weighting, optimizer grouping
+(gen+map share one Adam, lsps_trainer.py:27-28) and metric names match
+the reference exactly.
+
+Data parallelism: updates are pjit-friendly — batch-mean losses make
+gradients correct under GSPMD-sharded batches with no explicit
+collectives; an optional ``axis_name`` adds ``lax.pmean`` for
+shard_map/pmap use.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from lsps_tpu.models import build_model
+from lsps_tpu.train import optim
+from lsps_tpu.train.checkpoint import CheckpointManager
+from lsps_tpu.registry import register
+
+Pytree = Any
+
+
+# ---------------------------------------------------------------------------
+# losses (lsps_trainer.py:48-60)
+# ---------------------------------------------------------------------------
+
+def l1_loss(a, b):
+    """torch.nn.L1Loss (mean reduction) — lsps_trainer.py:42-49."""
+    return jnp.mean(jnp.abs(a - b))
+
+
+def l2_loss(a, b):
+    """Elementwise MSE mean — lsps_trainer.py:51-52."""
+    return jnp.mean(jnp.square(a - b))
+
+
+def kl_loss(mu, sd=None):
+    """KL terms (lsps_trainer.py:55-60): with sd,
+    sum(mu^2 + sd^2 - log sd^2)/B; without, mean(mu^2)."""
+    mu2 = jnp.square(mu)
+    if sd is None:
+        return jnp.mean(mu2)
+    sd2 = jnp.square(sd)
+    return jnp.sum(mu2 + sd2 - jnp.log(sd2)) / mu.shape[0]
+
+
+def bce_logits_vs_ones(logits):
+    """BCE(sigmoid(x), 1) in stable logit form."""
+    return jnp.mean(jax.nn.softplus(-logits))
+
+
+def bce_logits_vs_zeros(logits):
+    """BCE(sigmoid(x), 0) in stable logit form."""
+    return jnp.mean(jax.nn.softplus(logits))
+
+
+def true_acc(logits):
+    """Fraction classified real (sigmoid >= 0.5) — helpers.py:20-25."""
+    return jnp.mean((logits >= 0.0).astype(jnp.float32))
+
+
+def fake_acc(logits):
+    """Fraction classified fake (sigmoid <= 0.5) — helpers.py:27-32."""
+    return jnp.mean((logits <= 0.0).astype(jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+class TrainState:
+    """The full training state as a dict pytree (checkpoint-friendly)."""
+
+    @staticmethod
+    def create(params: Dict[str, Pytree], opt_states: Dict[str, Pytree],
+               step: int = 0) -> Dict[str, Pytree]:
+        return {"params": params, "opt": opt_states,
+                "step": jnp.asarray(step, jnp.int32)}
+
+
+@register("trainer", "LSPSTrainer")
+class LSPSTrainer:
+    """Owns the four nets + three optimizers; exposes jitted updates.
+
+    ``sch_interval`` is the loop's scheduler cadence: 1000 in
+    pretrain/pose modes, 100 in estimate modes (depth_train.py:154-164).
+    """
+
+    def __init__(self, hyperparameters: Dict[str, Any],
+                 sch_interval: int = 1000, axis_name: Optional[str] = None):
+        hyp = dict(hyperparameters)
+        self.hyp = hyp
+        self.axis_name = axis_name
+        lr = hyp["lr"]
+
+        self.dis = build_model(hyp["dis"])
+        self.gen = build_model(hyp["gen"])
+        self.vae = build_model(hyp["vae"])
+        self.map = build_model(hyp["map"])
+
+        self.dis_opt = optim.dis_optimizer(lr, sch_interval)
+        self.gen_opt = optim.gen_optimizer(lr, sch_interval)
+        self.vae_opt = optim.vae_optimizer(lr, sch_interval)
+
+        self.train_map = bool(hyp.get("train_map", False))
+        self.ckpt = CheckpointManager()
+
+        # jit the update rules once; donate the state so XLA reuses the
+        # parameter/optimizer buffers in place (halves peak HBM)
+        self.vae_update = jax.jit(self._vae_update, donate_argnums=0)
+        self.gen_update = jax.jit(self._gen_update, donate_argnums=0)
+        self.dis_update = jax.jit(self._dis_update, donate_argnums=0,
+                                  static_argnames=("feat_mat",))
+        self.post_update = jax.jit(self._post_update, donate_argnums=0,
+                                   static_argnames=("mode",))
+
+    # ------------------------------------------------------------------
+    def init_state(self, key) -> Dict[str, Pytree]:
+        kd, kg, kv, km = jax.random.split(key, 4)
+        params = {
+            "dis": self.dis.init(kd),
+            "gen": self.gen.init(kg),
+            "vae": self.vae.init(kv),
+            "map": self.map.init(km),
+        }
+        opt_states = {
+            "dis": self.dis_opt.init(params["dis"]),
+            "gen": self.gen_opt.init({"gen": params["gen"],
+                                      "map": params["map"]}),
+            "vae": self.vae_opt.init(params["vae"]),
+        }
+        return TrainState.create(params, opt_states)
+
+    def _maybe_pmean(self, grads):
+        if self.axis_name is not None:
+            return jax.lax.pmean(grads, self.axis_name)
+        return grads
+
+    # ------------------------------------------------------------------
+    # VAE update (lsps_trainer.py:62-74)
+    # ------------------------------------------------------------------
+    def _vae_update(self, state, y, rng):
+        hyp = self.hyp
+
+        def loss_fn(vae_params):
+            dec, z, mu, sd = self.vae(vae_params, y, rng=rng)
+            enc_loss = kl_loss(mu, sd)
+            ll_loss = l1_loss(dec, y)
+            total = (hyp["kl_loss_vae"] * enc_loss
+                     + hyp["ll_loss_vae"] * ll_loss)
+            return total, (dec, enc_loss, ll_loss)
+
+        (total, (dec, enc_loss, ll_loss)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state["params"]["vae"])
+        grads = self._maybe_pmean(grads)
+        updates, new_opt = self.vae_opt.update(grads, state["opt"]["vae"],
+                                               state["params"]["vae"])
+        new_vae = optax.apply_updates(state["params"]["vae"], updates)
+        new_state = {
+            "params": {**state["params"], "vae": new_vae},
+            "opt": {**state["opt"], "vae": new_opt},
+            "step": state["step"] + 1,
+        }
+        metrics = {"vae_total_loss": total, "vae_enc_loss": enc_loss,
+                   "vae_ll_loss": ll_loss}
+        return new_state, metrics, dec
+
+    # ------------------------------------------------------------------
+    # generator update (lsps_trainer.py:76-141)
+    # ------------------------------------------------------------------
+    def _gen_update(self, state, images_a, labels_a, images_b, labels_b,
+                    rng):
+        hyp = self.hyp
+        params = state["params"]
+        r_fwd, r_bab, r_aba, r_vae = jax.random.split(rng, 4)
+
+        def loss_fn(diff):
+            gen_p, map_p = diff["gen"], diff["map"]
+            x_aa, x_ba, x_ab, x_bb, shared = self.gen(
+                gen_p, images_a, images_b, rng=r_fwd, train=True)
+            x_bab, shared_bab = self.gen.forward_a2b(gen_p, x_ba, rng=r_bab,
+                                                     train=True)
+            x_aba, shared_aba = self.gen.forward_b2a(gen_p, x_ab, rng=r_aba,
+                                                     train=True)
+
+            if self.train_map:
+                labels = jnp.concatenate([labels_a, labels_b], 0)
+                enc_pose, _, _ = self.vae.encode(params["vae"], labels,
+                                                 rng=r_vae)
+                z_p2d = self.map(map_p, enc_pose)
+                dec_a_full, dec_b_full = self.gen.decode(gen_p, z_p2d)
+                half = dec_a_full.shape[0] // 2
+                decode_a = dec_a_full[:half]
+                decode_b = dec_b_full[half:]
+                data_a = jnp.concatenate([x_ba, decode_a], 0)
+                data_b = jnp.concatenate([x_ab, decode_b], 0)
+                matching_z = l2_loss(shared, z_p2d)
+                matching_a = l1_loss(decode_a, images_a)
+                matching_b = l1_loss(decode_b, images_b)
+            else:
+                data_a, decode_a = x_ba, x_ba
+                data_b, decode_b = x_ab, x_ab
+                matching_z = matching_a = matching_b = 0.0
+
+            outs_a, outs_b, _, _ = self.dis(params["dis"], data_a, data_b)
+            ad_loss_a = bce_logits_vs_ones(outs_a)
+            ad_loss_b = bce_logits_vs_ones(outs_b)
+
+            enc_loss = kl_loss(shared)
+            enc_bab = kl_loss(shared_bab)
+            enc_aba = kl_loss(shared_aba)
+            ll_a = l1_loss(x_aa, images_a)
+            ll_b = l1_loss(x_bb, images_b)
+            ll_aba = l1_loss(x_aba, images_a)
+            ll_bab = l1_loss(x_bab, images_b)
+
+            total = (hyp["gan_w"] * (ad_loss_a + ad_loss_b)
+                     + hyp["ll_direct_link_w"] * (ll_a + ll_b)
+                     + hyp["ll_cycle_link_w"] * (ll_aba + ll_bab)
+                     + hyp["kl_direct_link_w"] * (enc_loss + enc_loss)
+                     + hyp["kl_cycle_link_w"] * (enc_bab + enc_aba)
+                     + hyp["ll_map_z_w"] * matching_z
+                     + hyp["ll_map_w"] * (matching_a + matching_b))
+            aux = {
+                "images": (x_aa, x_ba, x_ab, x_bb, x_aba, x_bab,
+                           decode_a, decode_b),
+                "gen_enc_loss": enc_loss,
+                "gen_enc_loss2": enc_aba + enc_bab,
+                "gen_ad_loss": ad_loss_a + ad_loss_b,
+                "gen_ll_loss": ll_a + ll_b,
+                "gen_ll_loss2": ll_bab + ll_aba,
+                "gen_map_loss": matching_z,
+                "gen_map_loss2": matching_a + matching_b,
+                "gen_total_loss": total,
+            }
+            return total, aux
+
+        diff = {"gen": params["gen"], "map": params["map"]}
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(diff)
+        grads = self._maybe_pmean(grads)
+        updates, new_opt = self.gen_opt.update(grads, state["opt"]["gen"],
+                                               diff)
+        new_diff = optax.apply_updates(diff, updates)
+        new_state = {
+            "params": {**params, "gen": new_diff["gen"],
+                       "map": new_diff["map"]},
+            "opt": {**state["opt"], "gen": new_opt},
+            "step": state["step"],
+        }
+        images = aux.pop("images")
+        return new_state, aux, images
+
+    # ------------------------------------------------------------------
+    # discriminator update (lsps_trainer.py:143-218)
+    # ------------------------------------------------------------------
+    def _dis_update(self, state, images_a, labels_a, images_b, labels_b,
+                    rng, feat_mat: bool = True):
+        hyp = self.hyp
+        params = state["params"]
+        r_fwd, r_vae = jax.random.split(rng)
+
+        # generator runs in train mode (noise on) but is frozen here
+        x_aa, x_ba, x_ab, x_bb, shared = self.gen(
+            params["gen"], images_a, images_b, rng=r_fwd, train=True)
+
+        if self.train_map:
+            labels = jnp.concatenate([labels_a, labels_b], 0)
+            enc_pose, _, _ = self.vae.encode(params["vae"], labels,
+                                             rng=r_vae)
+            z_p2d = self.map(params["map"], enc_pose)
+            dec_a_full, dec_b_full = self.gen.decode(params["gen"], z_p2d)
+            half = dec_a_full.shape[0] // 2
+            decode_a, decode_b = dec_a_full[:half], dec_b_full[half:]
+            data_a = jnp.concatenate([images_a, x_ba, x_aa, decode_a], 0)
+            data_b = jnp.concatenate([images_b, x_ab, x_bb, decode_b], 0)
+            ndiv = 4
+        elif feat_mat:
+            data_a = jnp.concatenate([images_a, x_ba, x_aa], 0)
+            data_b = jnp.concatenate([images_b, x_ab, x_bb], 0)
+            ndiv = 3
+        else:
+            data_a = jnp.concatenate([images_a, x_ba], 0)
+            data_b = jnp.concatenate([images_b, x_ab], 0)
+            ndiv = 2
+
+        def loss_fn(dis_params):
+            res_a, res_b, feats_a, feats_b = self.dis(dis_params, data_a,
+                                                      data_b)
+            n = feats_a.shape[0] // ndiv
+
+            feature_loss_a = feature_loss_b = 0.0
+            if feat_mat:
+                # x_ba features must match x_aa features across domains
+                # (lsps_trainer.py:171-177)
+                fa = [feats_a[i * n:(i + 1) * n] for i in range(ndiv)]
+                fb = [feats_b[i * n:(i + 1) * n] for i in range(ndiv)]
+                feature_loss_a = l1_loss(fb[1] - fa[2], 0.0)
+                feature_loss_b = l1_loss(fa[1] - fb[2], 0.0)
+
+            m = res_a.shape[0] // ndiv
+            ra = [res_a[i * m:(i + 1) * m] for i in range(ndiv)]
+            rb = [res_b[i * m:(i + 1) * m] for i in range(ndiv)]
+
+            ad_true_a = bce_logits_vs_ones(ra[0])
+            ad_true_b = bce_logits_vs_ones(rb[0])
+            ad_fake_a = bce_logits_vs_zeros(ra[1])
+            ad_fake_b = bce_logits_vs_zeros(rb[1])
+            ad_dec_a = ad_dec_b = 0.0
+            if self.train_map:
+                ad_dec_a = bce_logits_vs_zeros(ra[3])
+                ad_dec_b = bce_logits_vs_zeros(rb[3])
+
+            ad_loss_a = ad_true_a + ad_fake_a + ad_dec_a
+            ad_loss_b = ad_true_b + ad_fake_b + ad_dec_b
+            loss = (hyp["gan_w"] * (ad_loss_a + ad_loss_b)
+                    + hyp["feature_w"] * (feature_loss_a + feature_loss_b))
+            aux = {
+                "dis_ad_loss": ad_loss_a + ad_loss_b,
+                "dis_feat_loss": feature_loss_a + feature_loss_b,
+                "dis_loss": loss,
+                "dis_true_acc": 0.5 * (true_acc(ra[0]) + true_acc(rb[0])),
+                "dis_fake_acc": 0.5 * (fake_acc(ra[1]) + fake_acc(rb[1])),
+            }
+            return loss, aux
+
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params["dis"])
+        grads = self._maybe_pmean(grads)
+        updates, new_opt = self.dis_opt.update(grads, state["opt"]["dis"],
+                                               params["dis"])
+        new_dis = optax.apply_updates(params["dis"], updates)
+        new_state = {
+            "params": {**params, "dis": new_dis},
+            "opt": {**state["opt"], "dis": new_opt},
+            "step": state["step"],
+        }
+        return new_state, aux, None
+
+    # ------------------------------------------------------------------
+    # posterior-regression update (lsps_trainer.py:220-262)
+    # modes: 0 synth-only, 1 real-only, 3 synth+unlabeled, 4 semi-sup
+    # ------------------------------------------------------------------
+    def _post_update(self, state, images_a, labels_a, images_b, labels_b,
+                     rng, mode: int = 3):
+        hyp = self.hyp
+        params = state["params"]
+        r_gen, r_vae_a, r_vae_b = jax.random.split(rng, 3)
+
+        def loss_fn(dis_params):
+            reg_loss_a = reg_loss_b = 0.0
+            feature_loss_a = feature_loss_b = 0.0
+            images = (images_a, images_a, images_b, images_b)
+
+            if mode == 0:
+                _, pred_a, _ = self.dis.regress_a(dis_params, images_a)
+                enc_a, _, _ = self.vae.encode(params["vae"], labels_a,
+                                              rng=r_vae_a)
+                reg_loss_a = l2_loss(pred_a, enc_a)
+            elif mode == 1:
+                _, pred_b, _ = self.dis.regress_b(dis_params, images_b)
+                enc_b, _, _ = self.vae.encode(params["vae"], labels_b,
+                                              rng=r_vae_b)
+                reg_loss_b = l2_loss(pred_b, enc_b)
+            else:
+                # tiny gen slice for cross-domain feature alignment
+                # (lsps_trainer.py:238-243)
+                x_aa, x_ba, x_ab, x_bb, _ = self.gen(
+                    params["gen"], images_a[0:4], images_b[0:4], rng=r_gen,
+                    train=True)
+                f_aa, f_ba, f_ab, f_bb = self.dis.feats(dis_params, x_aa,
+                                                        x_ba, x_ab, x_bb)
+                feature_loss_a = l1_loss(f_ab - f_aa, 0.0)
+                feature_loss_b = l1_loss(f_ba - f_bb, 0.0)
+                images = (x_aa, x_ba, x_ab, x_bb)
+
+                _, pred_a, _ = self.dis.regress_a(dis_params, images_a)
+                enc_a, _, _ = self.vae.encode(params["vae"], labels_a,
+                                              rng=r_vae_a)
+                reg_loss_a = l2_loss(pred_a, enc_a)
+
+                if mode == 4:
+                    _, pred_b, _ = self.dis.regress_b(dis_params, images_b)
+                    enc_b, _, _ = self.vae.encode(params["vae"], labels_b,
+                                                  rng=r_vae_b)
+                    reg_loss_b = l2_loss(pred_b, enc_b)
+
+            total = (hyp["reg_w"] * (reg_loss_a + reg_loss_b)
+                     + hyp["feature_w_reg"] * (feature_loss_a
+                                               + feature_loss_b))
+            aux = {
+                "dis_reg_loss": reg_loss_a + reg_loss_b,
+                "dis_total_loss": total,
+                "images": images,
+            }
+            return total, aux
+
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params["dis"])
+        grads = self._maybe_pmean(grads)
+        updates, new_opt = self.dis_opt.update(grads, state["opt"]["dis"],
+                                               params["dis"])
+        new_dis = optax.apply_updates(params["dis"], updates)
+        new_state = {
+            "params": {**params, "dis": new_dis},
+            "opt": {**state["opt"], "dis": new_opt},
+            "step": state["step"],
+        }
+        images = aux.pop("images")
+        x_aa, x_ba, x_ab, x_bb = images
+        return new_state, aux, (x_aa, x_ba, x_ab, x_bb, x_aa, x_bb, x_aa,
+                                x_bb)
+
+    # ------------------------------------------------------------------
+    # visualization strip (lsps_trainer.py:264-276)
+    # ------------------------------------------------------------------
+    @staticmethod
+    def assemble_outputs(images_a, images_b, network_outputs):
+        """10-panel strip of first-sample images concatenated along width
+        (NHWC axis 2)."""
+        x_aa, x_ba, x_ab, x_bb, x_aba, x_bab, dec_a, dec_b = network_outputs
+        panels = [images_a, x_aa, x_ab, x_aba, dec_a, dec_b,
+                  images_b, x_bb, x_ba, x_bab]
+        return jnp.concatenate([p[0:1, :, :, 0:3] for p in panels], axis=2)
+
+    # ------------------------------------------------------------------
+    # checkpoint API (lsps_trainer.py:278-332)
+    # ------------------------------------------------------------------
+    def save(self, state, snapshot_prefix, iterations):
+        self.ckpt.save(state, snapshot_prefix, iterations)
+
+    def save_vae(self, state, snapshot_prefix, iterations, frac):
+        self.ckpt.save_vae(state["params"]["vae"], snapshot_prefix,
+                           iterations, frac)
+
+    def resume(self, state, snapshot_prefix, idx=-1, load_opt=False,
+               est=False):
+        return self.ckpt.resume(state, snapshot_prefix, idx=idx,
+                                load_opt=load_opt, est=est)
+
+    def load_vae(self, state, snapshot_prefix, frac):
+        return self.ckpt.load_vae(state, snapshot_prefix, frac)

@@ -1,0 +1,74 @@
+"""Metric tests on hand-constructed arrays (SURVEY.md §4 plan)."""
+
+import numpy as np
+import pytest
+
+from lsps_tpu.eval import HandposeEvaluation, NYUHandposeEvaluation
+from lsps_tpu.eval.handpose_evaluation import Evaluation, NYU_RESTRICTED_EVAL
+
+
+def test_mean_and_max_error():
+    gt = np.zeros((2, 3, 3))
+    pred = np.zeros((2, 3, 3))
+    pred[0, 0, 0] = 3.0   # 3mm error on one joint
+    pred[1, :, 1] = 4.0   # 4mm error on all joints of frame 1
+    hpe = HandposeEvaluation(gt, pred)
+    assert hpe.getMeanError() == pytest.approx((3.0 / 3 + 4.0) / 2)
+    assert hpe.getMaxError() == pytest.approx(4.0)
+    assert hpe.getJointMeanError(0) == pytest.approx((3.0 + 4.0) / 2)
+    assert hpe.getJointMaxError(2) == pytest.approx(4.0)
+
+
+def test_frames_within_dist():
+    gt = np.zeros((4, 2, 3))
+    pred = np.zeros((4, 2, 3))
+    pred[0, 0, 0] = 10.0
+    pred[1, 0, 0] = 30.0
+    pred[2, 0, 0] = 50.0
+    # frame 3 perfect
+    hpe = HandposeEvaluation(gt, pred)
+    assert hpe.getNumFramesWithinMaxDist(40) == 3
+    assert hpe.getNumFramesWithinMaxDist(20) == 2
+    assert hpe.getNumFramesWithinMaxDist(5) == 1
+
+
+def test_nan_tolerance():
+    gt = np.zeros((2, 2, 3))
+    pred = np.zeros((2, 2, 3))
+    pred[0, 0] = np.nan
+    pred[1, 0, 0] = 6.0
+    hpe = HandposeEvaluation(gt, pred)
+    assert np.isfinite(hpe.getMeanError())
+    assert hpe.getMaxError() == pytest.approx(6.0)
+
+
+def test_shape_validation():
+    with pytest.raises(ValueError):
+        HandposeEvaluation(np.zeros((2, 3, 3)), np.zeros((3, 3, 3)))
+
+
+def test_legacy_evaluation_nyu_protocol(tmp_path):
+    skel1 = np.zeros((36, 3))
+    skel2 = np.zeros((36, 3))
+    skel2[0, 0] = 0.1  # joint 0 in the restricted set: 0.1*50 = 5mm
+    skel2[1, 0] = 9.9  # joint 1 NOT in the restricted set: ignored
+    assert Evaluation.maxJntError(skel1, skel2) == pytest.approx(5.0)
+    assert Evaluation.meanJntError(skel1, skel2) == pytest.approx(
+        5.0 / len(NYU_RESTRICTED_EVAL))
+    err40 = Evaluation.plotError([10.0, 30.0, 50.0], str(tmp_path / "e.txt"))
+    assert err40 == pytest.approx(2 / 3)
+    lines = open(tmp_path / "e.txt").read().strip().splitlines()
+    assert len(lines) == 17
+
+
+def test_plot_evaluation_writes_pdfs(tmp_path):
+    gt = np.random.RandomState(0).randn(5, 14, 3) * 10
+    pred = gt + np.random.RandomState(1).randn(5, 14, 3)
+    hpe = NYUHandposeEvaluation(gt, pred)
+    hpe.subfolder = str(tmp_path)
+    hpe.plotEvaluation("test")
+    import os
+
+    assert os.path.isfile(tmp_path / "test_frameswithin.pdf")
+    assert os.path.isfile(tmp_path / "test_joint_mean.pdf")
+    assert os.path.isfile(tmp_path / "test_joint_max.pdf")

@@ -1,0 +1,58 @@
+"""FastAugmenter must agree with the per-sample augment_crop path for
+the same RandomState (pixel agreement up to NN-rounding ties; labels
+exact)."""
+
+import numpy as np
+import pytest
+
+from lsps_tpu.data.fast_augment import FastAugmenter, available
+from lsps_tpu.data.loader import get_dataset
+
+import lsps_tpu.data.synthetic  # noqa: F401
+
+SPEC = {"seed": 23455, "root": "", "subset": "train", "docom": False,
+        "augment": True, "sample_poses": 0, "joint_subset": "NYU",
+        "n_frames": 6, "n_joints": 36, "class_name": "dataset_hand_synth"}
+
+
+def _reference_batch(ds, idxs):
+    outs = [ds[i] for i in idxs]
+    return tuple(np.stack([o[j] for o in outs]) for j in range(5))
+
+
+def test_fast_augment_matches_per_sample():
+    ds_ref = get_dataset(SPEC)
+    ds_fast = get_dataset(SPEC)  # fresh copy with identical rng state
+    idxs = list(range(len(ds_ref)))
+
+    imgs_r, lbl_r, com_r, M_r, cube_r = _reference_batch(ds_ref, idxs)
+    fa = FastAugmenter(ds_fast)
+    imgs_f, lbl_f, com_f, M_f, cube_f = fa.batch(idxs)
+
+    assert imgs_f.shape == imgs_r.shape
+    np.testing.assert_allclose(lbl_f, lbl_r, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(com_f, com_r, rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(cube_f, cube_r, rtol=1e-5)
+    np.testing.assert_allclose(M_f, M_r, rtol=1e-4, atol=1e-3)
+    # NN warps may differ on exact rounding ties at object borders
+    agree = np.mean(np.abs(imgs_f - imgs_r) < 1e-3)
+    assert agree > 0.97, f"only {agree:.2%} pixels agree"
+    assert imgs_f.min() >= -1 - 1e-5 and imgs_f.max() <= 1 + 1e-5
+
+
+def test_fast_augment_throughput_sanity():
+    """The batched path must not be slower than per-sample (smoke)."""
+    import time
+
+    ds = get_dataset(SPEC)
+    fa = FastAugmenter(ds)
+    idxs = list(range(len(ds))) * 4
+    t0 = time.perf_counter()
+    fa.batch(idxs)
+    dt_fast = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for i in idxs:
+        ds[i]
+    dt_ref = time.perf_counter() - t0
+    # no strict assertion on a noisy 1-core box; just record both ran
+    assert dt_fast > 0 and dt_ref > 0

@@ -55,7 +55,7 @@ def test_conv_transpose_matches_torch(rng, k, s, p, op, cin, cout):
     b = rng.randn(cout).astype(np.float32)
 
     layer = L.conv2d_transpose(cin, cout, k, s, p, op)
-    ours = np.asarray(layer.apply({"w": jnp.array(w), "b": jnp.array(b)},
+    ours = np.asarray(layer.apply({"wt": jnp.array(w), "b": jnp.array(b)},
                                   jnp.array(x)))
 
     wt = torch.from_numpy(np.transpose(w, (2, 3, 0, 1)))  # (in,out,kh,kw)

@@ -1,0 +1,61 @@
+"""Sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lsps_tpu.parallel import (make_mesh, batch_sharding, shard_batch,
+                               shard_state, pjit_update)
+
+
+def test_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.devices.shape == (8, 1)
+    assert mesh.axis_names == ("data", "model")
+    mesh2 = make_mesh(n_data=4, n_model=2)
+    assert mesh2.devices.shape == (4, 2)
+
+
+def test_batch_sharding_places_shards():
+    mesh = make_mesh()
+    x = np.arange(8 * 4, dtype=np.float32).reshape(8, 4)
+    xs = shard_batch(mesh, x)
+    assert xs.sharding.is_equivalent_to(batch_sharding(mesh), 2)
+    np.testing.assert_array_equal(np.asarray(xs), x)
+    # each device holds 1/8 of the batch
+    assert len(xs.addressable_shards) == 8
+    assert xs.addressable_shards[0].data.shape == (1, 4)
+
+
+def test_pjit_mean_loss_gradient_equivalence():
+    """A sharded-batch gradient must equal the single-device gradient —
+    the property the DP design relies on (GSPMD inserts the psum)."""
+    mesh = make_mesh()
+    w = jnp.array(np.random.RandomState(0).randn(4, 3), jnp.float32)
+    x = np.random.RandomState(1).randn(16, 4).astype(np.float32)
+    y = np.random.RandomState(2).randn(16, 3).astype(np.float32)
+
+    def loss(w, x, y):
+        return jnp.mean(jnp.square(x @ w - y))
+
+    g_single = jax.grad(loss)(w, jnp.array(x), jnp.array(y))
+
+    gfn = pjit_update(jax.grad(loss), mesh, n_batch_args=1,
+                      donate_state=False)
+    # signature (w, x, y): w replicated, x sharded, y... n_batch_args=1
+    # shards only x; shard y too via a 2-batch-arg wrapper
+    gfn2 = pjit_update(jax.grad(loss), mesh, n_batch_args=2,
+                       donate_state=False)
+    xs, ys = shard_batch(mesh, x, y)
+    g_sharded = gfn2(w, xs, ys)
+    np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_single),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_dryrun_multichip_entrypoint():
+    """The driver's multichip dry-run must compile and execute."""
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
