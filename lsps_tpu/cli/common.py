@@ -75,4 +75,7 @@ def make_datasets(config):
 def make_trainer(config, sch_interval: int):
     cls = lookup("trainer", config.hyperparameters.get("trainer",
                                                        "LSPSTrainer"))
-    return cls(config.hyperparameters, sch_interval=sch_interval)
+    # CLI loops thread the state linearly -> donation is safe and
+    # halves peak HBM
+    return cls(config.hyperparameters, sch_interval=sch_interval,
+               donate=True)

@@ -384,6 +384,9 @@ class ICVLImporter(DepthImporter):
         data = []
         with open(filename) as f:
             for line in f:
+                line = line.rstrip()
+                if not line:
+                    continue
                 part = line.split(" ")
                 ev = np.zeros((self.num_joints, 2), np.float32)
                 for j in range(self.num_joints):

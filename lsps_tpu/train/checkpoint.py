@@ -85,6 +85,58 @@ def _parse_iterations(filename: str) -> int:
     return int(m.group(1)) if m else 0
 
 
+class OrbaxStateStore:
+    """Async full-state checkpointing via orbax (SURVEY.md §5 plan:
+    preemption-resume as a first-class citizen — the save runs in the
+    background while training continues; ``wait()`` or the next save
+    joins it).
+
+    Stores the ENTIRE train state (4 param trees + 3 optimizer states +
+    step) under ``<dir>/state_<step>`` — one atomic unit, unlike the
+    reference's per-net pickles with optimizer saves commented out
+    (lsps_trainer.py:314-319).
+    """
+
+    def __init__(self, directory: str):
+        import orbax.checkpoint as ocp
+
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+
+    def save(self, state, step: int) -> None:
+        path = os.path.join(self.directory, f"state_{step:08d}")
+        self._ckptr.save(path, args=self._args_save(state))
+
+    def _args_save(self, state):
+        import orbax.checkpoint as ocp
+
+        return ocp.args.StandardSave(state)
+
+    def wait(self) -> None:
+        self._ckptr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        steps = []
+        for d in os.listdir(self.directory):
+            m = re.match(r"state_(\d{8})$", d)
+            if m and os.path.isdir(os.path.join(self.directory, d)):
+                steps.append(int(m.group(1)))
+        return max(steps) if steps else None
+
+    def restore(self, template, step: Optional[int] = None):
+        import orbax.checkpoint as ocp
+
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            return template, None
+        self.wait()
+        path = os.path.join(self.directory, f"state_{step:08d}")
+        restored = self._ckptr.restore(
+            path, args=ocp.args.StandardRestore(template))
+        return restored, step
+
+
 class CheckpointManager:
     """Reference-parity save/resume over npz pytree files."""
 

@@ -95,7 +95,12 @@ class LSPSTrainer:
     """
 
     def __init__(self, hyperparameters: Dict[str, Any],
-                 sch_interval: int = 1000, axis_name: Optional[str] = None):
+                 sch_interval: int = 1000, axis_name: Optional[str] = None,
+                 donate: bool = False):
+        """``donate=True`` lets XLA reuse the input state's buffers in
+        place (halves peak HBM) — only safe when the caller threads the
+        state linearly and never touches a pre-update state again (the
+        CLI loops do; enable there)."""
         hyp = dict(hyperparameters)
         self.hyp = hyp
         self.axis_name = axis_name
@@ -113,13 +118,13 @@ class LSPSTrainer:
         self.train_map = bool(hyp.get("train_map", False))
         self.ckpt = CheckpointManager()
 
-        # jit the update rules once; donate the state so XLA reuses the
-        # parameter/optimizer buffers in place (halves peak HBM)
-        self.vae_update = jax.jit(self._vae_update, donate_argnums=0)
-        self.gen_update = jax.jit(self._gen_update, donate_argnums=0)
-        self.dis_update = jax.jit(self._dis_update, donate_argnums=0,
+        # jit the update rules once
+        dn = (0,) if donate else ()
+        self.vae_update = jax.jit(self._vae_update, donate_argnums=dn)
+        self.gen_update = jax.jit(self._gen_update, donate_argnums=dn)
+        self.dis_update = jax.jit(self._dis_update, donate_argnums=dn,
                                   static_argnames=("feat_mat",))
-        self.post_update = jax.jit(self._post_update, donate_argnums=0,
+        self.post_update = jax.jit(self._post_update, donate_argnums=dn,
                                    static_argnames=("mode",))
 
     # ------------------------------------------------------------------

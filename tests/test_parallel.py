@@ -42,14 +42,13 @@ def test_pjit_mean_loss_gradient_equivalence():
 
     g_single = jax.grad(loss)(w, jnp.array(x), jnp.array(y))
 
-    gfn = pjit_update(jax.grad(loss), mesh, n_batch_args=1,
-                      donate_state=False)
-    # signature (w, x, y): w replicated, x sharded, y... n_batch_args=1
-    # shards only x; shard y too via a 2-batch-arg wrapper
-    gfn2 = pjit_update(jax.grad(loss), mesh, n_batch_args=2,
-                       donate_state=False)
+    # pjit_update expects the update signature (state, *batch, rng)
+    def gradfn(w, x, y, rng):
+        return jax.grad(loss)(w, x, y)
+
+    gfn = pjit_update(gradfn, mesh, n_batch_args=2, donate_state=False)
     xs, ys = shard_batch(mesh, x, y)
-    g_sharded = gfn2(w, xs, ys)
+    g_sharded = gfn(w, xs, ys, jax.random.PRNGKey(0))
     np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_single),
                                rtol=1e-5, atol=1e-6)
 
