@@ -10,8 +10,12 @@ Usage: python scripts/bench_train.py [--batch-sizes 1,8,32]
 
 import argparse
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
 
 
 def main(argv=None):
