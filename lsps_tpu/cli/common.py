@@ -42,6 +42,9 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    help="override config batch size (TPU efficiency knob)")
     p.add_argument("--profile-dir", type=str, default=None,
                    help="write a jax.profiler trace here")
+    p.add_argument("--orbax-dir", type=str, default=None,
+                   help="async full-state checkpoints (params + optimizer "
+                        "+ step) for preemption-safe resume")
     return p
 
 

@@ -63,10 +63,22 @@ def main(argv=None):
     state = trainer.init_state(jax.random.PRNGKey(opts.seed))
     di_b = dataset_b.di
 
+    # optional preemption-safe async full-state checkpointing
+    orbax_store = None
+    if opts.orbax_dir:
+        from lsps_tpu.train.checkpoint import OrbaxStateStore
+
+        orbax_store = OrbaxStateStore(opts.orbax_dir)
+
     iterations = 0
     if opts.resume == 1:
-        state, iterations = trainer.resume(state, config.snapshot_prefix,
-                                           idx=-1, load_opt=True)
+        if orbax_store is not None and orbax_store.latest_step() is not None:
+            state, iterations = orbax_store.restore(state)
+            print(f"Resumed full state from orbax step {iterations}")
+        else:
+            state, iterations = trainer.resume(state,
+                                               config.snapshot_prefix,
+                                               idx=-1, load_opt=True)
         # LR schedules are pure functions of the step count; no replay
         # needed (cf. depth_train.py:111-113)
 
@@ -175,6 +187,8 @@ def main(argv=None):
                     prefix = (config.snapshot_prefix + "_est" if estimate
                               else config.snapshot_prefix)
                     trainer.save(state, prefix, iterations)
+                    if orbax_store is not None:
+                        orbax_store.save(state, iterations + 1)
 
                 iterations += 1
                 if iterations >= max_iterations:

@@ -22,24 +22,53 @@ from lsps_tpu.data.transformations import transform_points_2d
 from lsps_tpu.registry import register
 
 
+def make_pose_basis(n_joints: int, rng, n_modes: int = 5,
+                    spread_mm: float = 70.0):
+    """A synthetic pose manifold: mean offsets + low-rank deformation
+    basis, so pose distributions have the low-dimensional structure real
+    hand poses do (and VAEs can actually learn them)."""
+    mean = rng.randn(n_joints, 3).astype(np.float32)
+    mean /= np.maximum(np.linalg.norm(mean, axis=1, keepdims=True), 1)
+    mean *= rng.uniform(0.2, 1.0, (n_joints, 1)).astype(np.float32)
+    mean *= spread_mm
+    mean[:, 2] *= 0.3  # mostly fronto-parallel
+    basis = rng.randn(n_modes, n_joints, 3).astype(np.float32)
+    basis *= spread_mm * 0.25 / np.sqrt(n_modes)
+    basis[..., 2] *= 0.3
+    return mean, basis
+
+
+def sample_pose_offsets(mean, basis, rng):
+    c = rng.randn(basis.shape[0]).astype(np.float32)
+    off = mean + np.tensordot(c, basis, axes=1)
+    off[0] = 0.0  # anchor the crop joint at the CoM
+    return off
+
+
 def render_hand_depth(cam: Camera, com3d, n_joints: int, rng,
                       spread_mm: float = 80.0,
-                      finger_radius_px: int = 3) -> Tuple[np.ndarray,
-                                                          np.ndarray]:
+                      finger_radius_px: int = 3,
+                      pose_basis=None) -> Tuple[np.ndarray, np.ndarray]:
     """Render a crude hand: a palm disc at com3d plus joint spheres.
 
     Returns (depth map HxW float32 mm, joints3d (J, 3) mm).
+    With ``pose_basis`` (mean, basis), joints are drawn from the
+    low-rank manifold; otherwise independent random offsets.
     """
     w, h = cam.depth_map_size
     dpt = np.zeros((h, w), np.float32)
     com3d = np.asarray(com3d, np.float32)
 
-    # joints: palm center + offsets within the spread radius, biased planar
-    offsets = rng.randn(n_joints, 3).astype(np.float32)
-    offsets /= np.maximum(np.linalg.norm(offsets, axis=1, keepdims=True), 1)
-    offsets *= rng.uniform(0.15, 1.0, (n_joints, 1)).astype(np.float32)
-    offsets *= spread_mm
-    offsets[:, 2] *= 0.3  # mostly fronto-parallel
+    if pose_basis is not None:
+        offsets = sample_pose_offsets(*pose_basis, rng)
+    else:
+        # joints: palm center + offsets in the spread radius, biased planar
+        offsets = rng.randn(n_joints, 3).astype(np.float32)
+        offsets /= np.maximum(np.linalg.norm(offsets, axis=1,
+                                             keepdims=True), 1)
+        offsets *= rng.uniform(0.15, 1.0, (n_joints, 1)).astype(np.float32)
+        offsets *= spread_mm
+        offsets[:, 2] *= 0.3  # mostly fronto-parallel
     joints3d = com3d[None] + offsets
     joints3d[0] = com3d  # anchor the crop joint at the CoM
 
@@ -67,13 +96,17 @@ class SyntheticImporter(DepthImporter):
 
     def __init__(self, n_frames: int = 16, n_joints: int = 36, seed: int = 1,
                  camera: Optional[Camera] = None, cube=(300, 300, 300),
-                 **kw):
+                 pose_seed: int = 77, **kw):
         super().__init__(camera or Camera.nyu(), basepath="synthetic",
                          use_cache=False)
         self.n_frames = n_frames
         self.num_joints = n_joints
         self.crop_joint_idx = 0
         self.seed = seed
+        # the pose manifold is shared across subsets (same "hand" in
+        # train/test, different samples) — keyed by pose_seed only
+        self.pose_basis = make_pose_basis(
+            n_joints, np.random.RandomState(pose_seed))
         self.default_cubes = {"train": tuple(cube), "test": tuple(cube),
                               "train_synth": tuple(cube),
                               "test_synth": tuple(cube)}
@@ -91,7 +124,8 @@ class SyntheticImporter(DepthImporter):
                 gen.uniform(-120, 120), gen.uniform(-120, 120),
                 gen.uniform(600, 900)], np.float32)
             dpt, joints3d = render_hand_depth(self.camera, com3d,
-                                              self.num_joints, gen)
+                                              self.num_joints, gen,
+                                              pose_basis=self.pose_basis)
             gtorig = self.joint_3d_to_img(joints3d)
             f = self._crop_frame(dpt, gtorig, joints3d, config["cube"],
                                  docom, f"synth_{len(frames)}")

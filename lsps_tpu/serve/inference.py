@@ -35,12 +35,20 @@ class PoseEstimator:
 
     def __init__(self, hyp: dict, params, camera: Optional[Camera] = None,
                  domain: str = "b", dtype=jnp.float32):
+        """``dtype=jnp.bfloat16`` casts the conv-trunk weights and
+        activations to bf16 — at batch 1 the trunk is weight-bandwidth
+        bound (the SharedDis trunk holds ~19M params), so bf16 roughly
+        halves latency; the pose decode stays float32."""
         self.dis = build_model(hyp["dis"])
         self.vae = build_model(hyp["vae"])
         self.camera = camera or Camera.nyu()
-        self.params = params
         self.domain = domain
         self.dtype = dtype
+        if dtype != jnp.float32:
+            params = dict(params)
+            params["dis"] = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x, dtype), params["dis"])
+        self.params = params
         regress = (self.dis.regress_b if domain == "b"
                    else self.dis.regress_a)
 

@@ -105,8 +105,11 @@ class OrbaxStateStore:
         self._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
 
     def save(self, state, step: int) -> None:
+        # snapshot to host first: the async write must not race with
+        # buffer donation by the next training step
+        host_state = jax.device_get(state)
         path = os.path.join(self.directory, f"state_{step:08d}")
-        self._ckptr.save(path, args=self._args_save(state))
+        self._ckptr.save(path, args=self._args_save(host_state))
 
     def _args_save(self, state):
         import orbax.checkpoint as ocp
