@@ -70,6 +70,33 @@ class _HandDatasetBase:
     def __len__(self):
         return int(np.minimum(self.num, self.nmax))
 
+    # -- batched fast-augmentation path (native fused kernel) -----------
+    def enable_fast_augment(self) -> bool:
+        """Switch the loader to the batched native augmentation path
+        (lsps_tpu/data/fast_augment.py). Returns False if the native
+        library is unavailable or the dataset mode doesn't apply."""
+        from lsps_tpu.data import fast_augment
+
+        if not (self.augment and not self.pose_only
+                and fast_augment.available()):
+            return False
+        self._fast_augmenter = fast_augment.FastAugmenter(self)
+        return True
+
+    def fast_batch(self, idxs):
+        """One augmented batch in this dataset's tuple contract."""
+        imgs, labels, coms, Ms, cubes = self._fast_augmenter.batch(idxs)
+        n = len(idxs)
+        lab = labels.reshape(n, -1, 3)
+        if isinstance(self.joint_subset, np.ndarray):
+            lab = lab[:, self.joint_subset].copy()
+        if self.flip_y:
+            lab[:, :, 1] *= -1
+        return self._batch_tuple(imgs, lab.reshape(n, -1), coms, Ms, cubes)
+
+    def _batch_tuple(self, imgs, labels, coms, Ms, cubes):
+        return imgs, labels, coms, Ms, cubes
+
     # subclasses define __getitem__
 
 
@@ -182,6 +209,10 @@ class DatasetHandNYU(_HandDatasetBase):
         self.seq = self.di.load_sequence(subset, rng=self.rng, shuffle=True,
                                          docom=specs.get("docom", False))
         self._init_detector()
+
+    def _batch_tuple(self, imgs, labels, coms, Ms, cubes):
+        # NYU 6-tuple contract (dataset_hand2.py:352, 366)
+        return imgs, labels, coms, Ms, cubes, cubes
 
     def __getitem__(self, i):
         if self.pose_only and self.sampled_poses is not None:

@@ -33,13 +33,17 @@ class DataLoader:
     """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool,
-                 seed: int = 0, prefetch: int = 2, drop_last: bool = False):
+                 seed: int = 0, prefetch: int = 2, drop_last: bool = False,
+                 fast: bool = False):
         self.dataset = dataset
         self.batch_size = int(batch_size)
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.prefetch = prefetch
         self._rng = np.random.RandomState(seed)
+        # batched native augmentation path (one fused C++ call per batch)
+        self.fast = bool(fast and hasattr(dataset, "enable_fast_augment")
+                         and dataset.enable_fast_augment())
 
     def __len__(self):
         n = len(self.dataset)
@@ -64,8 +68,11 @@ class DataLoader:
             try:
                 for b in range(nb):
                     idx = order[b * self.batch_size:(b + 1) * self.batch_size]
-                    samples = [self.dataset[int(i)] for i in idx]
-                    q.put(_stack(samples))
+                    if self.fast:
+                        q.put(self.dataset.fast_batch([int(i) for i in idx]))
+                    else:
+                        samples = [self.dataset[int(i)] for i in idx]
+                        q.put(_stack(samples))
             except Exception as e:  # surface worker errors to the consumer
                 q.put(e)
             finally:
@@ -84,8 +91,12 @@ class DataLoader:
 
 def get_data_loader(dataset, batch_size: int, shuffle: bool,
                     seed: int = 0) -> DataLoader:
-    """Reference-named factory (common.py:16-17)."""
-    return DataLoader(dataset, batch_size, shuffle, seed=seed)
+    """Reference-named factory (common.py:16-17).  Set ``LSPS_NATIVE=1``
+    to route augmentation through the batched native kernel."""
+    import os
+
+    fast = os.environ.get("LSPS_NATIVE", "0") == "1"
+    return DataLoader(dataset, batch_size, shuffle, seed=seed, fast=fast)
 
 
 def get_dataset(conf: dict):

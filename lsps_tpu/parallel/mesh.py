@@ -70,3 +70,37 @@ def pjit_update(update_fn, mesh: Mesh, n_batch_args: int,
     return jax.jit(update_fn, in_shardings=in_shardings,
                    static_argnames=tuple(static_argnames),
                    donate_argnums=(0,) if donate_state else ())
+
+
+def tp_param_shardings(mesh: Mesh, state, min_out_ch: int = 512):
+    """Tensor-parallel sharding rules for the ``model`` axis.
+
+    The reference has no model sharding (single GPU, SURVEY.md §2.8) and
+    these models fit one chip, so this is scaling headroom: conv/linear
+    kernels with a large output-channel dimension shard that dimension
+    over ``model`` (their biases too); everything else replicates.
+    GSPMD keeps the wide trunk activations channel-sharded and inserts
+    the collectives at the narrow heads automatically.
+
+    Returns a pytree of NamedSharding matching ``state``.
+    """
+    n_model = mesh.shape["model"]
+
+    def rule(path, leaf):
+        shape = np.shape(leaf)
+        if n_model > 1:
+            if len(shape) == 4 and shape[-1] % n_model == 0 \
+                    and shape[-1] >= min_out_ch:
+                return NamedSharding(mesh, P(None, None, None, "model"))
+            if len(shape) == 1 and shape[0] % n_model == 0 \
+                    and shape[0] >= min_out_ch:
+                return NamedSharding(mesh, P("model"))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(rule, state)
+
+
+def shard_state_tp(mesh: Mesh, state, min_out_ch: int = 512):
+    """Place a state with tensor-parallel kernels over the model axis."""
+    sh = tp_param_shardings(mesh, state, min_out_ch)
+    return jax.tree_util.tree_map(jax.device_put, state, sh)

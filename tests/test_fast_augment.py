@@ -40,6 +40,21 @@ def test_fast_augment_matches_per_sample():
     assert imgs_f.min() >= -1 - 1e-5 and imgs_f.max() <= 1 + 1e-5
 
 
+def test_loader_fast_path_tuple_contract():
+    from lsps_tpu.data.loader import DataLoader
+
+    ds = get_dataset(SPEC)
+    loader = DataLoader(ds, batch_size=3, shuffle=False, fast=True)
+    assert loader.fast, "native fast path failed to enable"
+    batch = next(iter(loader))
+    assert len(batch) == 6  # NYU 6-tuple contract incl. duplicate cube
+    imgs, labels, coms, Ms, cubes, cubes2 = batch
+    assert imgs.shape == (3, 1, 128, 128)
+    assert labels.shape == (3, 108)
+    np.testing.assert_array_equal(cubes, cubes2)
+    assert np.isfinite(imgs).all()
+
+
 def test_fast_augment_throughput_sanity():
     """The batched path must not be slower than per-sample (smoke)."""
     import time

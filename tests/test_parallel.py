@@ -53,6 +53,34 @@ def test_pjit_mean_loss_gradient_equivalence():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_tp_model_axis_sharding_equivalence():
+    """Wide conv kernels shard over the model axis; a sharded forward
+    must equal the replicated one (GSPMD inserts the collectives)."""
+    from lsps_tpu.parallel import shard_state_tp, tp_param_shardings
+    from lsps_tpu.ops import layers as L
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    net = L.sequential(L.conv2d(8, 64, 3, 1, 1), L.leaky_relu_layer(),
+                       L.conv2d(64, 8, 3, 1, 1))
+    params = net.init(jax.random.PRNGKey(0))
+    x = jnp.array(np.random.RandomState(0).randn(4, 16, 16, 8),
+                  jnp.float32)
+    y_ref = net.apply(params, x)
+
+    sh = tp_param_shardings(mesh, params, min_out_ch=64)
+    # the wide 64-channel kernel sharded, the narrow 8-channel replicated
+    specs = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda s: s.spec, sh,
+                               is_leaf=lambda s: hasattr(s, "spec")))
+    assert any(spec == jax.sharding.PartitionSpec(None, None, None,
+                                                  "model")
+               for spec in specs)
+    params_tp = shard_state_tp(mesh, params, min_out_ch=64)
+    y_tp = jax.jit(net.apply)(params_tp, x)
+    np.testing.assert_allclose(np.asarray(y_tp), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_dryrun_multichip_entrypoint():
     """The driver's multichip dry-run must compile and execute."""
     import __graft_entry__ as ge
