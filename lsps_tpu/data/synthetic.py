@@ -14,11 +14,9 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from lsps_tpu.data.basetypes import DepthFrame, FrameArrays
+from lsps_tpu.data.basetypes import FrameArrays
 from lsps_tpu.data.camera import Camera
-from lsps_tpu.data.detector import HandDetector
 from lsps_tpu.data.importers import DepthImporter
-from lsps_tpu.data.transformations import transform_points_2d
 from lsps_tpu.registry import register
 
 

@@ -26,7 +26,7 @@ apply signature: ``apply(params, x, rng=None, train=False)``.
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, NamedTuple, Sequence, Tuple
+from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ on TPU slices; per-host input sharding comes from
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

@@ -13,8 +13,7 @@ domains through the generator.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 
