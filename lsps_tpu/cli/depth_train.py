@@ -208,10 +208,19 @@ def evaluate_estimation(trainer, state, test_loader, di_b, Evaluation,
     vid = viz.EvalVideoWriter(os.path.join(image_dir, "gen.avi"))
     params = state["params"]
 
-    regress = jax.jit(
-        lambda p, x: (trainer.dis.regress_a if mode_idx == 0
-                      else trainer.dis.regress_b)(p["dis"], x))
-    decode = jax.jit(lambda p, z: trainer.vae.decode(p["vae"], z))
+    # build the eval jits once per process (fresh lambdas would retrace
+    # on every eval)
+    if not hasattr(trainer, "_eval_jits"):
+        trainer._eval_jits = {
+            "regress_a": jax.jit(
+                lambda p, x: trainer.dis.regress_a(p["dis"], x)),
+            "regress_b": jax.jit(
+                lambda p, x: trainer.dis.regress_b(p["dis"], x)),
+            "decode": jax.jit(lambda p, z: trainer.vae.decode(p["vae"], z)),
+        }
+    regress = trainer._eval_jits["regress_a" if mode_idx == 0
+                                 else "regress_b"]
+    decode = trainer._eval_jits["decode"]
 
     for tit, batch in enumerate(iter(test_loader)):
         imgs, labels, com, trans, cube = batch[:5]

@@ -120,11 +120,14 @@ def _evaluate(trainer, state, test_loader, di_b, Evaluation, color_idx,
     gt3d, joints = [], []
     img2sav = None
     shown = 0
+    if not hasattr(trainer, "_eval_recon_jit"):
+        # decode(mu): deterministic reconstruction (pose_train.py:155)
+        trainer._eval_recon_jit = jax.jit(
+            lambda p, y: trainer.vae.decode(p, trainer.vae.encode(p, y)[1]))
     for batch in test_loader:
         imgs, labels, com, trans, cube = batch[:5]
-        z, mu, _ = trainer.vae.encode(state["params"]["vae"],
-                                      jnp.asarray(labels))
-        pred = np.asarray(trainer.vae.decode(state["params"]["vae"], mu))
+        pred = np.asarray(trainer._eval_recon_jit(
+            state["params"]["vae"], jnp.asarray(labels)))
         n = labels.shape[0]
         for i in range(n):
             gt3d.append(labels[i].reshape(-1, 3) * (cube[i, 0] / 2.0)

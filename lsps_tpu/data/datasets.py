@@ -71,16 +71,18 @@ class _HandDatasetBase:
         return int(np.minimum(self.num, self.nmax))
 
     # -- batched fast-augmentation path (native fused kernel) -----------
-    def enable_fast_augment(self) -> bool:
-        """Switch the loader to the batched native augmentation path
-        (lsps_tpu/data/fast_augment.py). Returns False if the native
-        library is unavailable or the dataset mode doesn't apply."""
+    def enable_fast_augment(self, backend: str = "native") -> bool:
+        """Switch the loader to the batched augmentation path
+        (lsps_tpu/data/fast_augment.py): 'native' fused C++ host kernel
+        or 'jax' fused device program. Returns False if unavailable or
+        the dataset mode doesn't apply."""
         from lsps_tpu.data import fast_augment
 
-        if not (self.augment and not self.pose_only
-                and fast_augment.available()):
+        if not (self.augment and not self.pose_only):
             return False
-        self._fast_augmenter = fast_augment.FastAugmenter(self)
+        if backend == "native" and not fast_augment.available():
+            return False
+        self._fast_augmenter = fast_augment.FastAugmenter(self, backend)
         return True
 
     def fast_batch(self, idxs):

@@ -48,12 +48,15 @@ class FastAugmenter:
         imgs, labels, coms, Ms, cubes = fa.batch(indices)
     """
 
-    def __init__(self, dataset):
+    def __init__(self, dataset, backend: str = "native"):
+        """backend: 'native' (fused C++ host kernel) or 'jax' (fused
+        device program, data/augment_jax.py)."""
         self.ds = dataset
         self.di = dataset.di
         self.hd: HandDetector = dataset.hd
         self.rng = dataset.rng
         self.aug_modes = dataset.aug_modes
+        self.backend = backend
 
     def batch(self, idxs) -> Tuple[np.ndarray, ...]:
         from lsps_tpu import native
@@ -124,9 +127,16 @@ class FastAugmenter:
         zstart = com_z - cube_z / 2.0
         zend = com_z + cube_z / 2.0
 
-        imgs = native.fused_recrop_normalize_batch(
-            src, minv, com_z, cube_z, premax, zstart, zend,
-            pad_value=0.0, nv_val=32000.0)
+        if self.backend == "jax":
+            from lsps_tpu.data.augment_jax import (
+                device_recrop_normalize_batch)
+
+            imgs = np.asarray(device_recrop_normalize_batch(
+                src, minv, com_z, cube_z, premax, zstart, zend))
+        else:
+            imgs = native.fused_recrop_normalize_batch(
+                src, minv, com_z, cube_z, premax, zstart, zend,
+                pad_value=0.0, nv_val=32000.0)
 
         com3d_out = di.joint_img_to_3d(out_com2d).astype(np.float32)
         return (imgs[:, None], labels.reshape(n, -1), com3d_out, Ms,

@@ -34,16 +34,17 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool,
                  seed: int = 0, prefetch: int = 2, drop_last: bool = False,
-                 fast: bool = False):
+                 fast: bool = False, fast_backend: str = "native"):
         self.dataset = dataset
         self.batch_size = int(batch_size)
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.prefetch = prefetch
         self._rng = np.random.RandomState(seed)
-        # batched native augmentation path (one fused C++ call per batch)
+        # batched augmentation path (one fused call per batch:
+        # C++ host kernel or jitted device program)
         self.fast = bool(fast and hasattr(dataset, "enable_fast_augment")
-                         and dataset.enable_fast_augment())
+                         and dataset.enable_fast_augment(fast_backend))
 
     def __len__(self):
         n = len(self.dataset)
@@ -91,12 +92,18 @@ class DataLoader:
 
 def get_data_loader(dataset, batch_size: int, shuffle: bool,
                     seed: int = 0) -> DataLoader:
-    """Reference-named factory (common.py:16-17).  Set ``LSPS_NATIVE=1``
-    to route augmentation through the batched native kernel."""
+    """Reference-named factory (common.py:16-17).  ``LSPS_AUGMENT``
+    selects the augmentation backend: ``host`` (default, per-sample cv2
+    bit-parity), ``native`` (fused C++ batch; also via ``LSPS_NATIVE=1``)
+    or ``jax`` (fused device batch)."""
     import os
 
-    fast = os.environ.get("LSPS_NATIVE", "0") == "1"
-    return DataLoader(dataset, batch_size, shuffle, seed=seed, fast=fast)
+    backend = os.environ.get("LSPS_AUGMENT", "").lower()
+    if not backend and os.environ.get("LSPS_NATIVE", "0") == "1":
+        backend = "native"
+    fast = backend in ("native", "jax")
+    return DataLoader(dataset, batch_size, shuffle, seed=seed, fast=fast,
+                      fast_backend=backend or "native")
 
 
 def get_dataset(conf: dict):

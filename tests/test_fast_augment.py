@@ -40,6 +40,21 @@ def test_fast_augment_matches_per_sample():
     assert imgs_f.min() >= -1 - 1e-5 and imgs_f.max() <= 1 + 1e-5
 
 
+def test_jax_backend_matches_native():
+    """The device-side augmentation program must agree with the native
+    C++ kernel (same math; only NN-rounding ties may differ)."""
+    ds_a = get_dataset(SPEC)
+    ds_b = get_dataset(SPEC)
+    idxs = list(range(len(ds_a)))
+    fa_native = FastAugmenter(ds_a, backend="native")
+    fa_jax = FastAugmenter(ds_b, backend="jax")
+    out_n = fa_native.batch(idxs)
+    out_j = fa_jax.batch(idxs)
+    np.testing.assert_allclose(out_j[1], out_n[1], rtol=1e-4, atol=1e-4)
+    agree = np.mean(np.abs(out_j[0] - out_n[0]) < 1e-3)
+    assert agree > 0.99, f"only {agree:.2%} pixels agree"
+
+
 def test_loader_fast_path_tuple_contract():
     from lsps_tpu.data.loader import DataLoader
 
