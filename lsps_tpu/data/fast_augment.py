@@ -24,6 +24,11 @@ import numpy as np
 from lsps_tpu.data.detector import HandDetector
 from lsps_tpu.data.transformations import rotate_points_2d
 
+# sentinel constants shared by both backends (recropHand semantics,
+# handdetector.py:786-807)
+PAD_VALUE = 0.0
+NV_VAL = 32000.0
+
 
 def _rotation_dst_to_src(center, rot_deg):
     """Inverse of cv2.getRotationMatrix2D(center, -rot, 1): rotate dst
@@ -132,11 +137,12 @@ class FastAugmenter:
                 device_recrop_normalize_batch)
 
             imgs = np.asarray(device_recrop_normalize_batch(
-                src, minv, com_z, cube_z, premax, zstart, zend))
+                src, minv, com_z, cube_z, premax, zstart, zend,
+                pad_value=PAD_VALUE, nv_val=NV_VAL))
         else:
             imgs = native.fused_recrop_normalize_batch(
                 src, minv, com_z, cube_z, premax, zstart, zend,
-                pad_value=0.0, nv_val=32000.0)
+                pad_value=PAD_VALUE, nv_val=NV_VAL)
 
         com3d_out = di.joint_img_to_3d(out_com2d).astype(np.float32)
         return (imgs[:, None], labels.reshape(n, -1), com3d_out, Ms,

@@ -101,6 +101,9 @@ def get_data_loader(dataset, batch_size: int, shuffle: bool,
     backend = os.environ.get("LSPS_AUGMENT", "").lower()
     if not backend and os.environ.get("LSPS_NATIVE", "0") == "1":
         backend = "native"
+    if backend not in ("", "host", "native", "jax"):
+        raise ValueError(
+            f"LSPS_AUGMENT={backend!r} is not one of host|native|jax")
     fast = backend in ("native", "jax")
     return DataLoader(dataset, batch_size, shuffle, seed=seed, fast=fast,
                       fast_backend=backend or "native")
