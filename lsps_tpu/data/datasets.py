@@ -78,7 +78,8 @@ class _HandDatasetBase:
         the dataset mode doesn't apply."""
         from lsps_tpu.data import fast_augment
 
-        if not (self.augment and not self.pose_only):
+        if not (getattr(self, "augment", False)
+                and not getattr(self, "pose_only", False)):
             return False
         if backend == "native" and not fast_augment.available():
             return False
@@ -154,6 +155,7 @@ class DatasetHandICVLTest(_HandDatasetBase):
     def __init__(self, specs):
         self.rng = np.random.RandomState(specs["seed"])
         self.pose_only = False
+        self.augment = False  # test sets are never augmented
         self.di = ICVLImporter(specs["root"], refine_net=None,
                                cache_dir=specs.get("cacheDir", "./cache/"))
         subset = specs["subset"]
@@ -258,6 +260,7 @@ class DatasetHandNYUTest(_HandDatasetBase):
     def __init__(self, specs):
         self.rng = np.random.RandomState(specs["seed"])
         self.pose_only = False
+        self.augment = False  # test sets are never augmented
         self.di = NYUImporter(specs["root"], refine_net=None,
                               all_joints=True,
                               cache_dir=specs.get("cacheDir", "./cache/"))

@@ -118,7 +118,8 @@ class FastAugmenter:
                     minv[k] = M0[k] @ np.linalg.inv(Mnew)
                     Ms[k] = Mnew
                 cubes[k] = new_cube
-                labels[k] = gt3d[k] / (cube0[2] / 2)
+                # normalize by the SCALED cube (dataset_hand2.py:91-93)
+                labels[k] = gt3d[k] / (new_cube[2] / 2)
             else:  # none
                 labels[k] = gt3d[k] / (cube0[2] / 2)
 
@@ -149,7 +150,12 @@ class FastAugmenter:
                 cubes)
 
 
-def available() -> bool:
+def available(backend: str = "native") -> bool:
+    """Whether the given augmentation backend can run here: 'native'
+    needs the C++ library (or its numpy fallback builds), 'jax' always
+    works."""
+    if backend == "jax":
+        return True
     from lsps_tpu import native
 
     return native.available()

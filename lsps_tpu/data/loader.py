@@ -64,30 +64,55 @@ class DataLoader:
         nb = len(self)
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        cancel = threading.Event()  # set when the consumer abandons us
+
+        def _put(item) -> bool:
+            while not cancel.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for b in range(nb):
+                    if cancel.is_set():
+                        return
                     idx = order[b * self.batch_size:(b + 1) * self.batch_size]
                     if self.fast:
-                        q.put(self.dataset.fast_batch([int(i) for i in idx]))
+                        batch = self.dataset.fast_batch(
+                            [int(i) for i in idx])
                     else:
-                        samples = [self.dataset[int(i)] for i in idx]
-                        q.put(_stack(samples))
+                        batch = _stack([self.dataset[int(i)] for i in idx])
+                    if not _put(batch):
+                        return
             except Exception as e:  # surface worker errors to the consumer
-                q.put(e)
+                _put(e)
             finally:
-                q.put(stop)
+                _put(stop)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            if isinstance(item, Exception):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            # abandoned mid-epoch (zip with a shorter loader, early
+            # return): unblock and retire the producer instead of leaking
+            # a thread + prefetched batches per epoch
+            cancel.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
 
 
 def get_data_loader(dataset, batch_size: int, shuffle: bool,

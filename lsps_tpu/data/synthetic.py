@@ -112,9 +112,14 @@ class SyntheticImporter(DepthImporter):
 
     def load_sequence(self, seq_name, nmax=float("inf"), shuffle=False,
                       rng=None, docom=False, cube=None) -> FrameArrays:
+        import zlib
+
         config = {"cube": tuple(cube) if cube is not None
                   else self.default_cubes.get(seq_name, (300, 300, 300))}
-        gen = np.random.RandomState(self.seed + (hash(seq_name) % 1000))
+        # stable hash: builtin hash() is salted per process and would
+        # make "reproducible" synthetic data differ across runs
+        gen = np.random.RandomState(
+            self.seed + (zlib.crc32(seq_name.encode()) % 1000))
         frames = []
         n = int(min(self.n_frames, nmax))
         while len(frames) < n:

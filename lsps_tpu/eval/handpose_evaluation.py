@@ -43,8 +43,12 @@ class HandposeEvaluation:
 
     # -- core distances ----------------------------------------------------
     def _dists(self) -> np.ndarray:
-        """(N, J) Euclidean joint errors."""
-        return np.sqrt(np.square(self.gtjoints - self.joints).sum(axis=2))
+        """(N, J) Euclidean joint errors (computed once; inputs are
+        immutable after __init__ — the plots query this 80+ times)."""
+        if not hasattr(self, "_dists_cache"):
+            self._dists_cache = np.sqrt(
+                np.square(self.gtjoints - self.joints).sum(axis=2))
+        return self._dists_cache
 
     # -- scalar metrics (handpose_evaluation.py:92-228) ---------------------
     def getMeanError(self) -> float:

@@ -90,57 +90,82 @@ class _SharedGenBase:
             "decode_B": self.decode_B.init(ks[5]),
         }
 
+    @staticmethod
+    def _split(rng, n):
+        return (jax.random.split(rng, n) if rng is not None
+                else [None] * n)
+
     # -- reference API (lsps_nets.py:239-272) -------------------------------
+    # rng/train thread through EVERY sub-network so configured res-block
+    # dropout (res_dropout_ratio) is active everywhere, matching the
+    # reference's global module train() mode.
     def decode(self, params, z, rng=None, train=False):
-        out = self.dec_shared.apply(params["dec_shared"], z, rng=rng,
+        r1, r2, r3 = self._split(rng, 3)
+        out = self.dec_shared.apply(params["dec_shared"], z, rng=r1,
                                     train=train)
-        out_a = self.decode_A.apply(params["decode_A"], out, rng=rng,
+        out_a = self.decode_A.apply(params["decode_A"], out, rng=r2,
                                     train=train)
-        out_b = self.decode_B.apply(params["decode_B"], out, rng=rng,
+        out_b = self.decode_B.apply(params["decode_B"], out, rng=r3,
                                     train=train)
         return out_a, out_b
 
     def encode(self, params, x_a, x_b, rng=None, train=False):
-        ra, rb = (jax.random.split(rng) if rng is not None else (None, None))
+        r1, r2, r3, r4 = self._split(rng, 4)
         out_a = self.enc_shared.apply(
             params["enc_shared"],
-            self.encode_A.apply(params["encode_A"], x_a), rng=ra, train=train)
+            self.encode_A.apply(params["encode_A"], x_a, rng=r1,
+                                train=train), rng=r2, train=train)
         out_b = self.enc_shared.apply(
             params["enc_shared"],
-            self.encode_B.apply(params["encode_B"], x_b), rng=rb, train=train)
+            self.encode_B.apply(params["encode_B"], x_b, rng=r3,
+                                train=train), rng=r4, train=train)
         return out_a, out_b
 
     def __call__(self, params, x_a, x_b, rng=None, train=False):
         """Joint forward over both domains concatenated on batch
         (lsps_nets.py:250-258). Returns (x_aa, x_ba, x_ab, x_bb, shared)."""
         n = x_a.shape[0]
+        r1, r2, r3, r4, r5, r6 = self._split(rng, 6)
         out = jnp.concatenate([
-            self.encode_A.apply(params["encode_A"], x_a),
-            self.encode_B.apply(params["encode_B"], x_b)], axis=0)
-        shared = self.enc_shared.apply(params["enc_shared"], out, rng=rng,
+            self.encode_A.apply(params["encode_A"], x_a, rng=r1,
+                                train=train),
+            self.encode_B.apply(params["encode_B"], x_b, rng=r2,
+                                train=train)], axis=0)
+        shared = self.enc_shared.apply(params["enc_shared"], out, rng=r3,
                                        train=train)
-        out = self.dec_shared.apply(params["dec_shared"], shared)
-        out_a = self.decode_A.apply(params["decode_A"], out)
-        out_b = self.decode_B.apply(params["decode_B"], out)
+        out = self.dec_shared.apply(params["dec_shared"], shared, rng=r4,
+                                    train=train)
+        out_a = self.decode_A.apply(params["decode_A"], out, rng=r5,
+                                    train=train)
+        out_b = self.decode_B.apply(params["decode_B"], out, rng=r6,
+                                    train=train)
         x_aa, x_ba = out_a[:n], out_a[n:]
         x_ab, x_bb = out_b[:n], out_b[n:]
         return x_aa, x_ba, x_ab, x_bb, shared
 
     def forward_a2b(self, params, x_a, rng=None, train=False):
         """A -> shared -> B (lsps_nets.py:260-265)."""
-        out = self.encode_A.apply(params["encode_A"], x_a)
-        shared = self.enc_shared.apply(params["enc_shared"], out, rng=rng,
+        r1, r2, r3, r4 = self._split(rng, 4)
+        out = self.encode_A.apply(params["encode_A"], x_a, rng=r1,
+                                  train=train)
+        shared = self.enc_shared.apply(params["enc_shared"], out, rng=r2,
                                        train=train)
-        out = self.dec_shared.apply(params["dec_shared"], shared)
-        return self.decode_B.apply(params["decode_B"], out), shared
+        out = self.dec_shared.apply(params["dec_shared"], shared, rng=r3,
+                                    train=train)
+        return self.decode_B.apply(params["decode_B"], out, rng=r4,
+                                   train=train), shared
 
     def forward_b2a(self, params, x_b, rng=None, train=False):
         """B -> shared -> A (lsps_nets.py:267-272)."""
-        out = self.encode_B.apply(params["encode_B"], x_b)
-        shared = self.enc_shared.apply(params["enc_shared"], out, rng=rng,
+        r1, r2, r3, r4 = self._split(rng, 4)
+        out = self.encode_B.apply(params["encode_B"], x_b, rng=r1,
+                                  train=train)
+        shared = self.enc_shared.apply(params["enc_shared"], out, rng=r2,
                                        train=train)
-        out = self.dec_shared.apply(params["dec_shared"], shared)
-        return self.decode_A.apply(params["decode_A"], out), shared
+        out = self.dec_shared.apply(params["dec_shared"], shared, rng=r3,
+                                    train=train)
+        return self.decode_A.apply(params["decode_A"], out, rng=r4,
+                                   train=train), shared
 
 
 @register("model", "SharedResGen")

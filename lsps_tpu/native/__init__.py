@@ -53,7 +53,12 @@ def get_lib():
     path = _build()
     if path is None:
         return None
-    lib = ctypes.CDLL(path)
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        # a stale/foreign-arch .so must degrade to the numpy fallback,
+        # not crash the loader
+        return None
     d = ctypes.POINTER(ctypes.c_double)
     f = ctypes.POINTER(ctypes.c_float)
     i = ctypes.c_int

@@ -184,6 +184,7 @@ class CheckpointManager:
         if dis_file:
             params["dis"] = load_pytree(dis_file, params["dis"])
         opt = dict(state["opt"])
+        self.last_opt_loaded = False
         if load_opt:
             try:
                 optg = get_model_list(dirname, "optg", idx)
@@ -192,6 +193,7 @@ class CheckpointManager:
                     opt["gen"] = load_pytree(optg, opt["gen"])
                 if optd:
                     opt["dis"] = load_pytree(optd, opt["dis"])
+                self.last_opt_loaded = bool(optg and optd)
             except Exception as e:  # tolerate missing/incompatible opt
                 print(f"-----Failed to load optimizer parameters! ({e})")
         try:

@@ -446,8 +446,29 @@ class LSPSTrainer:
 
     def resume(self, state, snapshot_prefix, idx=-1, load_opt=False,
                est=False):
-        return self.ckpt.resume(state, snapshot_prefix, idx=idx,
-                                load_opt=load_opt, est=est)
+        state, iterations = self.ckpt.resume(state, snapshot_prefix,
+                                             idx=idx, load_opt=load_opt,
+                                             est=est)
+        # a same-run resume (load_opt=True) without optimizer files must
+        # still continue the LR schedule from the parsed iteration — the
+        # reference replays its schedulers unconditionally
+        # (depth_train.py:111-113); Adam moments restart fresh, matching
+        # the reference's new Adam instances
+        if load_opt and iterations > 0 and not getattr(
+                self.ckpt, "last_opt_loaded", False):
+            opt = dict(state["opt"])
+            for k in ("gen", "dis"):
+                opt[k] = self._seed_schedule_count(opt[k], iterations)
+            state = {**state, "opt": opt}
+        return state, iterations
+
+    @staticmethod
+    def _seed_schedule_count(opt_state, count):
+        """Set the scale_by_schedule count (chain slot 2: decayed-weights,
+        adam, schedule — see train/optim.py) to ``count``."""
+        sched = opt_state[2]
+        sched = sched._replace(count=jnp.asarray(count, jnp.int32))
+        return tuple(opt_state[:2]) + (sched,)
 
     def load_vae(self, state, snapshot_prefix, frac):
         return self.ckpt.load_vae(state, snapshot_prefix, frac)
