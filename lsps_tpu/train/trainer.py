@@ -117,6 +117,17 @@ class LSPSTrainer:
         self.train_map = bool(hyp.get("train_map", False))
         self.ckpt = CheckpointManager()
 
+        # optional rematerialization of the generator forward: trades
+        # recompute for activation memory so large batches fit HBM
+        # (hyperparameter `remat: True`; no effect on values/grads)
+        if hyp.get("remat", False):
+            self._gen_fwd = jax.checkpoint(
+                lambda gp, xa, xb, r: self.gen(gp, xa, xb, rng=r,
+                                               train=True))
+        else:
+            self._gen_fwd = lambda gp, xa, xb, r: self.gen(
+                gp, xa, xb, rng=r, train=True)
+
         # jit the update rules once
         dn = (0,) if donate else ()
         self.vae_update = jax.jit(self._vae_update, donate_argnums=dn)
@@ -188,8 +199,8 @@ class LSPSTrainer:
 
         def loss_fn(diff):
             gen_p, map_p = diff["gen"], diff["map"]
-            x_aa, x_ba, x_ab, x_bb, shared = self.gen(
-                gen_p, images_a, images_b, rng=r_fwd, train=True)
+            x_aa, x_ba, x_ab, x_bb, shared = self._gen_fwd(
+                gen_p, images_a, images_b, r_fwd)
             x_bab, shared_bab = self.gen.forward_a2b(gen_p, x_ba, rng=r_bab,
                                                      train=True)
             x_aba, shared_aba = self.gen.forward_b2a(gen_p, x_ab, rng=r_aba,
@@ -272,8 +283,8 @@ class LSPSTrainer:
         r_fwd, r_vae = jax.random.split(rng)
 
         # generator runs in train mode (noise on) but is frozen here
-        x_aa, x_ba, x_ab, x_bb, shared = self.gen(
-            params["gen"], images_a, images_b, rng=r_fwd, train=True)
+        x_aa, x_ba, x_ab, x_bb, shared = self._gen_fwd(
+            params["gen"], images_a, images_b, r_fwd)
 
         if self.train_map:
             labels = jnp.concatenate([labels_a, labels_b], 0)

@@ -64,6 +64,23 @@ def test_dis_update_no_feature_matching():
     assert _leaf_delta(s1["params"]["dis"], state["params"]["dis"]) > 0
 
 
+def test_remat_flag_preserves_values_and_grads():
+    """`remat: True` must not change losses (same rng) — it only trades
+    recompute for activation memory."""
+    hyp_a = _small_hyp()
+    hyp_b = _small_hyp()
+    hyp_b["remat"] = True
+    tr_a = LSPSTrainer(hyp_a)
+    tr_b = LSPSTrainer(hyp_b)
+    s_a = tr_a.init_state(jax.random.PRNGKey(5))
+    s_b = tr_b.init_state(jax.random.PRNGKey(5))
+    r = jax.random.PRNGKey(6)
+    _, ma, _ = tr_a.gen_update(s_a, IMG, LBL, IMG, LBL, r)
+    _, mb, _ = tr_b.gen_update(s_b, IMG, LBL, IMG, LBL, r)
+    np.testing.assert_allclose(float(ma["gen_total_loss"]),
+                               float(mb["gen_total_loss"]), rtol=1e-5)
+
+
 def test_vae_loss_golden_seed():
     """Regression pin: first-step vae_total_loss for fixed seeds.  Value
     recorded on jax CPU float32-highest; loose tolerance guards against
