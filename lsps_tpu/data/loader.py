@@ -52,6 +52,15 @@ class DataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    # -- input-pipeline checkpointing (absent in the reference) ---------
+    def get_state(self) -> dict:
+        """Shuffle-RNG state; restoring it resumes the exact epoch
+        order sequence where training left off."""
+        return {"rng_state": self._rng.get_state()}
+
+    def set_state(self, state: dict) -> None:
+        self._rng.set_state(state["rng_state"])
+
     def _epoch_order(self):
         n = len(self.dataset)
         order = np.arange(n)
@@ -60,6 +69,12 @@ class DataLoader:
         return order
 
     def __iter__(self) -> Iterator:
+        return self.iter_from(0)
+
+    def iter_from(self, start_batch: int) -> Iterator:
+        """Iterate this epoch starting at ``start_batch`` (mid-epoch
+        resume; the epoch permutation is drawn first either way so the
+        RNG stream stays aligned)."""
         order = self._epoch_order()
         nb = len(self)
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
@@ -77,7 +92,7 @@ class DataLoader:
 
         def producer():
             try:
-                for b in range(nb):
+                for b in range(start_batch, nb):
                     if cancel.is_set():
                         return
                     idx = order[b * self.batch_size:(b + 1) * self.batch_size]
