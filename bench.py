@@ -1,12 +1,18 @@
 #!/usr/bin/env python
-"""Benchmark: fused depth->pose inference latency on one TPU chip.
+"""Benchmark: serving latency + training throughput on one TPU chip.
 
-Measures the deployed path of the reference (SURVEY.md §3.4): raw depth
+Serving: the deployed path of the reference (SURVEY.md §3.4): raw depth
 frame -> on-device CoM crop/normalize -> dis.regress_b conv trunk ->
 vae.decode, as ONE jitted XLA program at batch 1, full-size NYU model
 (ch=64, 36 joints).  North-star target: <= 1 ms/frame on one v5e chip
 (BASELINE.json).  ``vs_baseline`` is the speedup vs that 1 ms target
 (>1 means faster than target).
+
+Training: the fused pretrain step (dis_update + gen_update as one
+program — the reference loop body at src/depth_train.py:153-161) at the
+reference batch size 1 and at TPU batch 32, f32 and bf16 compute, with
+MFU computed from the compiled program's own cost analysis against the
+v5e bf16 peak (197 TFLOP/s).
 
 Prints exactly one JSON line.
 """
@@ -15,6 +21,51 @@ import json
 import time
 
 import numpy as np
+
+V5E_PEAK_FLOPS = 197e12  # bf16 peak, one v5e chip
+
+
+def _flops_of(compiled):
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    return float(ca.get("flops", 0.0))
+
+
+def _bench_train(jax, jnp, hyp_base, batch, compute_dtype, n_iter=30):
+    """(ms/step, images/s, mfu_pct, flops) for the fused pretrain step."""
+    from lsps_tpu.train import LSPSTrainer
+
+    hyp = dict(hyp_base)
+    hyp["compute_dtype"] = compute_dtype
+    trainer = LSPSTrainer(hyp, donate=True)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+
+    rs = np.random.RandomState(0)
+    ia = jnp.asarray(rs.randn(batch, 128, 128, 1).astype(np.float32) * .2)
+    ib = jnp.asarray(rs.randn(batch, 128, 128, 1).astype(np.float32) * .2)
+    la = jnp.asarray(rs.randn(batch, 108).astype(np.float32) * .3)
+    lb = jnp.asarray(rs.randn(batch, 108).astype(np.float32) * .3)
+    rng = jax.random.PRNGKey(1)
+
+    lowered = trainer.pretrain_update.lower(state, ia, la, ib, lb, rng)
+    compiled = lowered.compile()
+    flops = _flops_of(compiled)
+
+    # warmup (donation: thread the state linearly).  One call is not
+    # enough on this backend — the first few executions of a program are
+    # inflated by program/arg streaming, so warm with several.
+    for _ in range(5):
+        state, m, _ = trainer.pretrain_update(state, ia, la, ib, lb, rng)
+    jax.block_until_ready(m)
+    t0 = time.perf_counter()
+    for i in range(n_iter):
+        state, m, _ = trainer.pretrain_update(state, ia, la, ib, lb, rng)
+    jax.block_until_ready(m)
+    ms = (time.perf_counter() - t0) / n_iter * 1e3
+    imgs_s = 2 * batch / (ms / 1e3)  # both domains
+    mfu = 100.0 * flops / (ms / 1e3) / V5E_PEAK_FLOPS
+    return ms, imgs_s, mfu, flops
 
 
 def main():
@@ -75,7 +126,7 @@ def main():
 
     baseline_ms = 1.0  # north-star target (BASELINE.json)
     best = min(ms, ms_bf16)
-    print(json.dumps({
+    out = {
         "metric": "depth_to_pose_latency_b1",
         "value": round(best, 4),
         "unit": "ms/frame",
@@ -83,7 +134,27 @@ def main():
         "f32_ms": round(ms, 4),
         "bf16_ms": round(ms_bf16, 4),
         "pipelined_ms_per_frame": round(min(ms_pipelined, ms_bf16_pipe), 4),
-    }))
+    }
+
+    # training throughput + MFU (full-size NYU pretrain, fused step)
+    try:
+        b1 = _bench_train(jax, jnp, hyp, 1, "float32", n_iter=50)
+        b32 = _bench_train(jax, jnp, hyp, 32, "float32", n_iter=20)
+        b32h = _bench_train(jax, jnp, hyp, 32, "bfloat16", n_iter=20)
+        out.update({
+            "train_b1_ms_per_step": round(b1[0], 3),
+            "train_b32_ms_per_step": round(b32[0], 3),
+            "train_b32_images_per_s": round(b32[1], 1),
+            "train_b32_bf16_ms_per_step": round(b32h[0], 3),
+            "train_b32_bf16_images_per_s": round(b32h[1], 1),
+            "train_b32_mfu_pct": round(b32[2], 2),
+            "train_b32_bf16_mfu_pct": round(b32h[2], 2),
+            "train_gflops_per_step_b32": round(b32[3] / 1e9, 1),
+        })
+    except Exception as e:  # serving metric must still print
+        out["train_bench_error"] = f"{type(e).__name__}: {e}"
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

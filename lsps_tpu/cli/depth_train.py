@@ -139,12 +139,10 @@ def main(argv=None):
 
                 rng = jax.random.fold_in(rng, iterations)
                 if not estimate:
-                    r1, r2 = jax.random.split(rng)
-                    state, dmet, _ = trainer.dis_update(
-                        state, images_a, labels_a, images_b, labels_b, r1)
-                    state, gmet, outs = trainer.gen_update(
-                        state, images_a, labels_a, images_b, labels_b, r2)
-                    metrics = {**dmet, **gmet}
+                    # one fused XLA program per iteration (dis then gen);
+                    # the reference dispatches two (depth_train.py:153-161)
+                    state, metrics, outs = trainer.pretrain_update(
+                        state, images_a, labels_a, images_b, labels_b, rng)
                     assembled = trainer.assemble_outputs(images_a, images_b,
                                                          outs)
                 else:
@@ -222,8 +220,18 @@ def evaluate_estimation(trainer, state, test_loader, di_b, Evaluation,
                                  else "regress_b"]
     decode = trainer._eval_jits["decode"]
 
+    first_dpt_mm = first_trans = None
     for tit, batch in enumerate(iter(test_loader)):
         imgs, labels, com, trans, cube = batch[:5]
+        if tit == 0:
+            # stash the first frame's metric-mm depth crop for the 3D
+            # point-cloud artifact (normalize inverse of
+            # dataset_hand2.py:27-31; background -> 0 so depth_to_pcl
+            # drops it)
+            d = np.asarray(imgs[0, 0], np.float32)
+            mm = d * (float(cube[0, 2]) / 2.0) + float(com[0, 2])
+            mm[d >= 0.99] = 0.0
+            first_dpt_mm, first_trans = mm, np.asarray(trans[0])
         x = jnp.asarray(np.transpose(imgs, (0, 2, 3, 1)))
         _, post, _ = regress(params, x)
         pred = np.asarray(decode(params, post))
@@ -261,6 +269,17 @@ def evaluate_estimation(trainer, state, test_loader, di_b, Evaluation,
     hpe = Evaluation(np.array(gt3d), np.array(joints))
     mean_err = hpe.getMeanError()
     over_40 = 100.0 * hpe.getNumFramesWithinMaxDist(40) / len(gt3d)
+
+    # 3D point-cloud + skeleton artifact for the first test frame
+    # (reference plotResult3D, handpose_evaluation.py:488-620)
+    if first_dpt_mm is not None:
+        hpe.subfolder = image_dir
+        try:
+            hpe.plotResult3D(first_dpt_mm, first_trans, gt3d[0], joints[0],
+                             filename="_test3d", camera=di_b.camera,
+                             niceColors=True)
+        except Exception as e:
+            print(f"3D plot skipped: {e}")
     return mean_err, over_40
 
 

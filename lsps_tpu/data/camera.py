@@ -50,6 +50,14 @@ class Camera:
                       depth_map_size=(320, 240))
 
     @staticmethod
+    def post() -> "Camera":
+        # POST full-body rig (reference importers.py:1399-1400; base-class
+        # projection, no y flip)
+        return Camera(568.2585063980484, 568.6191815994941,
+                      317.5252035537242, 248.5884501249385, flip_y=False,
+                      depth_map_size=(640, 480))
+
+    @staticmethod
     def nyu() -> "Camera":
         # Kinect (reference importers.py:961, flipped y at :1260-1297)
         return Camera(588.03, 587.07, 320.0, 240.0, flip_y=True,

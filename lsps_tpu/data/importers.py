@@ -478,3 +478,150 @@ class MSRA15Importer(DepthImporter):
         if shuffle and rng is not None:
             arrays = arrays.shuffled(rng)
         return arrays
+
+
+# ---------------------------------------------------------------------------
+@register("importer", "POSTImporter")
+class POSTImporter(DepthImporter):
+    """POST full-body dataset (reference importers.py:1386-1853).
+
+    18 "joints" (body-part centers), 2000 mm crop cubes.  Synthetic
+    frames pair a depth PNG (``dmaps/*_d_*.png``, invalid = 10000) with a
+    part-label map (``lmaps/*_l_*.png``); ground truth is the per-part
+    center of mass with the part's mean depth.  Real frames carry an HSV
+    color-mask label image instead: the subject is segmented by hue, the
+    floor removed by point-cloud height, and a single CoM "pose" is
+    produced.  This is a GUI-free port: the reference's unconditional
+    ``showAnnotatedDepth`` debug popups (importers.py:1550,1567) and the
+    per-frame crop ``.pkl`` side-dumps (:1576-1581) are intentionally
+    dropped; everything metric is kept.
+    """
+
+    # synthetic part-label ids (reference importers.py:1448)
+    LBL_IDS = [1, 2, 3, 4, 6, 7, 8, 9, 12, 16, 17, 18, 19, 20, 24, 25,
+               26, 27]
+
+    def __init__(self, basepath, use_cache=True, cache_dir="./cache/",
+                 refine_net=None, all_joints=False, hand=None, com_idx=32,
+                 cube_size=300):
+        super().__init__(Camera.post(), basepath, use_cache, cache_dir,
+                         refine_net, hand)
+        self.all_joints = all_joints
+        self.num_joints = 18
+        self.default_cubes = {"train": (2000, 2000, 2000),
+                              "synth": (2000, 2000, 2000),
+                              "test": (2000, 2000, 2000)}
+        self.sides = {"train": "right", "synth": "right", "test": "right"}
+
+    def get_depth_map_nv(self):
+        return 32001  # importers.py:1443
+
+    def load_depth_map(self, filename, synth=True):
+        """(depth, label) pair (importers.py:1414-1436): synthetic label
+        maps live beside the depth maps (dmaps->lmaps, _d_->_l_); real
+        labels are an HSV-converted color mask image."""
+        import cv2
+
+        dpt = np.float32(cv2.imread(filename, cv2.IMREAD_UNCHANGED))
+        if synth:
+            lbl = np.float32(cv2.imread(
+                filename.replace("dmaps", "lmaps").replace("_d_", "_l_"),
+                cv2.IMREAD_UNCHANGED))
+        else:
+            lbl = cv2.cvtColor(
+                cv2.imread(filename.replace("dmaps", "lmaps"), 1),
+                cv2.COLOR_BGR2HSV)
+        return dpt, lbl
+
+    loadDepthMap = load_depth_map
+
+    def point_cloud(self, depth):
+        """Dense per-pixel back-projection; invalid depth -> NaN z
+        (importers.py:1816-1833)."""
+        rows, cols = depth.shape
+        c, r = np.meshgrid(np.arange(cols), np.arange(rows), sparse=True)
+        valid = (depth > 0) & (depth < 255)
+        z = np.where(valid, depth / 256.0, np.nan)
+        x = np.where(valid, z * (c - self.ux) / self.fx, 0)
+        y = np.where(valid, z * (r - self.uy) / self.fy, 0)
+        return np.dstack((x, y, z))
+
+    def prepare_samples(self, dpt, lbl, synth=True):
+        """(dpt, gtorig, gt3Dorig) from a depth/label pair
+        (importers.py:1443-1475)."""
+        from scipy import ndimage
+
+        if synth:
+            dpt = dpt.copy()
+            dpt[dpt == 10000] = 0.0
+            # per-part center of mass in (row, col) -> flip to (u, v)
+            com_rc = np.array(ndimage.center_of_mass(lbl, lbl,
+                                                     self.LBL_IDS))
+            gtorig = np.fliplr(np.floor(com_rc))
+            with np.errstate(invalid="ignore"):
+                zs = np.array([np.nanmean(np.where(lbl == i, dpt, np.nan))
+                               for i in self.LBL_IDS])
+            gtorig = np.floor(np.concatenate(
+                (gtorig, zs[:, None]), axis=1)).astype(np.float32)
+            return dpt, gtorig, self.joint_img_to_3d(gtorig)
+
+        import cv2
+
+        dpt = dpt / 5.0
+        lower = np.array([169, 150, 150], dtype=np.uint8)
+        upper = np.array([189, 255, 255], dtype=np.uint8)
+        mask = cv2.inRange(lbl, lower, upper)
+        pc = self.point_cloud(1 + (dpt / 6500.0) * 254)
+        dpt[pc[:, :, 1] > 0.125] = 0.0  # floor removal
+        com_rc = ndimage.center_of_mass(mask)
+        zs = dpt[mask != 0]
+        com = np.array(list(reversed(list(com_rc)))
+                       + [np.mean(zs[zs != 0])], np.float32)[None]
+        return dpt, com, com
+
+    def load_sequence(self, seq_name, nmax=float("inf"), shuffle=False,
+                      rng=None, docom=False, cube=None) -> FrameArrays:
+        import glob
+
+        config = {"cube": tuple(cube) if cube is not None
+                  else self.default_cubes[seq_name]}
+        cache = self._cache_path(seq_name, None, docom, config["cube"])
+        hit = self._load_cached(cache, shuffle, rng, nmax)
+        if hit is not None:
+            return hit
+
+        synth = "synth" in seq_name
+        files: List[str] = []
+        for d in sorted(glob.glob(os.path.join(self.basepath,
+                                               seq_name + "*/"))):
+            files += [os.path.join(d, f) for f in sorted(os.listdir(d))]
+
+        frames: List[DepthFrame] = []
+        for fname in files:
+            if not os.path.isfile(fname):
+                continue
+            dpt, lbl = self.load_depth_map(fname, synth)
+            dpt, gtorig, gt3Dorig = self.prepare_samples(dpt, lbl, synth)
+
+            hd = HandDetector(dpt, self.fx, self.fy,
+                              refine_net=self.refine_net, importer=self)
+            try:
+                dpt_c, M, com = hd.crop_area_3d(
+                    com=np.floor(np.nanmean(gtorig, axis=0)),
+                    size=config["cube"], docom=docom)
+            except UserWarning:
+                continue
+            com3d = self.joint_img_to_3d(com)
+            frames.append(DepthFrame(
+                dpt_c.astype(np.float32), gtorig,
+                transform_points_2d(gtorig, M), M.astype(np.float32),
+                gt3Dorig, gt3Dorig - com3d, com3d, fname, "",
+                self.sides[seq_name], {}))
+            if len(frames) >= nmax:
+                break
+
+        arrays = FrameArrays.from_frames(seq_name, frames, config)
+        self._save_cache(cache, arrays)
+        if shuffle and rng is not None:
+            arrays = arrays.shuffled(rng)
+        return arrays

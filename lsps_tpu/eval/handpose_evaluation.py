@@ -38,6 +38,10 @@ class HandposeEvaluation:
         self.jointNames: Optional[Sequence[str]] = None
         self.jointConnections: List = []
         self.jointConnectionColors: List = []
+        self.jointColors: List = []
+        # (elev, azim, roll) for plotResult3D — stands in for the
+        # reference's per-dataset VTKviewport angles
+        self.viewport3D = (-75.0, -90.0, 0.0)
         self.plotMaxJointDist = 80
         self.plotMeanJointDist = 80
 
@@ -159,6 +163,94 @@ class HandposeEvaluation:
         plt.close(fig)
 
 
+    # -- 3D point-cloud + stick-figure rendering ----------------------------
+    # TPU-era replacement for the reference's VTK module
+    # (handpose_evaluation.py:488-681 plotResult3D/vtkPlotHand): same
+    # artifact — hand point cloud with prediction (red) and optional
+    # ground-truth (blue) ball-and-stick skeletons in metric mm space —
+    # rendered with matplotlib 3D (headless-safe) instead of a VTK
+    # interactor window.
+    def plotHand3D(self, ax, joint3D, colors=(1, 0, 0)):
+        """Draw one skeleton onto a 3D axes (vtkPlotHand parity:
+        5 mm joint markers + linewidth-3 bone segments; ``colors`` is an
+        RGB tuple or 'nice' for the per-joint/per-bone tables)."""
+        joint3D = np.asarray(joint3D, np.float64).reshape(-1, 3)
+        nice = colors == "nice"
+        if nice and not getattr(self, "jointColors", None):
+            colors, nice = (1, 0, 0), False  # no tables: plain red
+        jc = (list(self.jointColors) if nice
+              else [colors] * joint3D.shape[0])
+        ax.scatter(joint3D[:, 0], joint3D[:, 1], joint3D[:, 2],
+                   c=jc[:joint3D.shape[0]], marker="s", s=25,
+                   depthshade=False)
+        conns = self.jointConnections or []
+        if conns and joint3D.shape[0] > np.max(np.abs(
+                np.asarray([c[:2] for c in conns]))):
+            ccol = (self.jointConnectionColors
+                    if nice and self.jointConnectionColors
+                    else [colors] * len(conns))
+            for c, col in zip(conns, ccol):
+                seg = joint3D[list(c[:2])]
+                ax.plot(seg[:, 0], seg[:, 1], seg[:, 2], color=col,
+                        linewidth=3)
+
+    def plotResult3D(self, dpt, T, gt3Dorig, joint3D, filename=None,
+                     showGT=True, showPC=True, niceColors=False,
+                     camera=None, background_val=0.0, max_points=4000):
+        """3D point cloud + skeleton figure (plotResult3D parity,
+        handpose_evaluation.py:488-620).
+
+        ``dpt`` is a metric-mm depth crop, ``T`` its 3x3 crop transform;
+        the cloud is back-projected with ``camera.depth_to_pcl``.  Saves
+        ``<subfolder>/<filename>.png`` when ``filename`` is given, else
+        returns the rendered RGB image array.
+        """
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig = plt.figure(figsize=(6, 6))
+        ax = fig.add_subplot(projection="3d")
+        ax.set_facecolor("white")
+
+        if showPC and camera is not None and dpt is not None:
+            pcl = camera.depth_to_pcl(dpt, T, background_val=background_val)
+            if pcl.shape[0] > max_points:
+                pcl = pcl[:: pcl.shape[0] // max_points + 1]
+            if pcl.shape[0]:
+                ax.scatter(pcl[:, 0], pcl[:, 1], pcl[:, 2], c="0.6", s=1,
+                           alpha=0.5, depthshade=False)
+
+        self.plotHand3D(ax, joint3D,
+                        "nice" if niceColors else (1, 0, 0))
+        if showGT and gt3Dorig is not None:
+            self.plotHand3D(ax, gt3Dorig,
+                            "nice" if niceColors else (0, 0, 1))
+
+        elev, azim, roll = self.viewport3D
+        ax.view_init(elev=elev, azim=azim)
+        ax.set_xlabel("x / mm")
+        ax.set_ylabel("y / mm")
+        ax.set_zlabel("z / mm")
+        try:
+            ax.set_box_aspect((1, 1, 1))
+        except Exception:
+            pass
+
+        if filename is not None:
+            import os
+
+            os.makedirs(self.subfolder, exist_ok=True)
+            fig.savefig(f"{self.subfolder}/{filename}.png",
+                        bbox_inches="tight", dpi=100)
+            plt.close(fig)
+            return None
+        fig.canvas.draw()
+        buf = np.asarray(fig.canvas.buffer_rgba())[..., :3].copy()
+        plt.close(fig)
+        return buf
+
     def plotResult(self, dpt, gtcrop, joint, name=None, show_gt=True,
                    upsample=4.0, annoscale=1):
         """Annotated depth image with gt (red) and prediction (blue)
@@ -192,17 +284,42 @@ class HandposeEvaluation:
         return None
 
 
+def _rgb01(bgr):
+    """OpenCV BGR tuple -> matplotlib RGB in [0,1]."""
+    b, g, r = bgr
+    return (r / 255.0, g / 255.0, b / 255.0)
+
+
+def _skeleton_tables(color_idx, bones):
+    """(jointColors, jointConnections, jointConnectionColors) from the
+    shared skeleton tables (utils/skeleton.py, reference util.py:11-37)."""
+    from lsps_tpu.utils.skeleton import FIG_COLOR
+
+    joint_colors = [_rgb01(FIG_COLOR[i]) for i in color_idx]
+    conns = [(b[0], b[1]) for b in bones]
+    conn_colors = [_rgb01(b[2]) for b in bones]
+    return joint_colors, conns, conn_colors
+
+
 class NYUHandposeEvaluation(HandposeEvaluation):
     """NYU joint names/skeleton (handpose_evaluation.py:740-850)."""
 
     def __init__(self, gtjoints, joints, joint_subset="all", **kw):
         super().__init__(gtjoints, joints, **kw)
+        from lsps_tpu.utils import skeleton as sk
+
         if joint_subset == "eval" or np.asarray(gtjoints).shape[1] == 14:
             self.jointNames = ["P1", "P2", "R1", "R2", "M1", "M2", "I1",
                                "I2", "T1", "T2", "T3", "W1", "W2", "C"]
+            (self.jointColors, self.jointConnections,
+             self.jointConnectionColors) = _skeleton_tables(
+                [5] * 14, sk.NYU_BONES_14)
         else:
             self.jointNames = [f"J{i}" for i
                                in range(np.asarray(gtjoints).shape[1])]
+            (self.jointColors, self.jointConnections,
+             self.jointConnectionColors) = _skeleton_tables(
+                sk.NYU_COLOR_IDX, sk.NYU_BONES)
         self.plotMaxJointDist = 80
 
 
@@ -211,9 +328,14 @@ class ICVLHandposeEvaluation(HandposeEvaluation):
 
     def __init__(self, gtjoints, joints, **kw):
         super().__init__(gtjoints, joints, **kw)
+        from lsps_tpu.utils import skeleton as sk
+
         self.jointNames = ["C", "T1", "T2", "T3", "I1", "I2", "I3",
                            "M1", "M2", "M3", "R1", "R2", "R3",
                            "P1", "P2", "P3"]
+        (self.jointColors, self.jointConnections,
+         self.jointConnectionColors) = _skeleton_tables(
+            sk.ICVL_COLOR_IDX, sk.ICVL_BONES)
         self.plotMaxJointDist = 80
 
 
@@ -222,8 +344,13 @@ class MSRAHandposeEvaluation(HandposeEvaluation):
 
     def __init__(self, gtjoints, joints, **kw):
         super().__init__(gtjoints, joints, **kw)
+        from lsps_tpu.utils import skeleton as sk
+
         self.jointNames = ["C"] + [f"{f}{i}" for f in "TIMRP"
                                    for i in range(1, 5)]
+        (self.jointColors, self.jointConnections,
+         self.jointConnectionColors) = _skeleton_tables(
+            sk.MSRA_COLOR_IDX, sk.MSRA_BONES)
         self.plotMaxJointDist = 80
 
 

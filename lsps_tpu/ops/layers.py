@@ -171,10 +171,13 @@ def linear(n_in: int, n_out: int, bias: bool = True, w_init=None,
 
 def instance_norm(x, eps: float = 1e-5):
     """InstanceNorm2d(affine=False) on NHWC: normalize each (n, c) plane
-    over H, W with biased variance (torch parity)."""
-    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=(1, 2), keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    over H, W with biased variance (torch parity).  Moments accumulate
+    in f32 even under bf16 compute (a bf16 mean over 16k pixels is
+    unusable); output returns to the input dtype."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
+    return ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
 def instance_norm_layer(eps: float = 1e-5) -> Layer:
@@ -355,3 +358,235 @@ def leaky_ins_resnext_block(n_in, n_out, k: int = 2, cardinality: int = 8,
 
 def softplus(x):
     return jax.nn.softplus(x)
+
+
+# ---------------------------------------------------------------------------
+# remaining common_net library blocks (reference common_net.py:12-103,
+# 183-379).  These are not instantiated by the shipped configs (SURVEY.md
+# §2.9) but belong to the reference's reusable block library; kept here so
+# the op library is complete.  BatchNorm notes: the reference's BN blocks
+# are dead code that was only ever run in training mode, so the
+# functional equivalents use batch statistics (no running-average state).
+# ---------------------------------------------------------------------------
+
+def _gaussian_kernel_1d(kernel_size: int) -> np.ndarray:
+    """cv2.getGaussianKernel(k, -1) parity: the fixed small-kernel tables
+    for k <= 7, else sigma = 0.3*((k-1)*0.5 - 1) + 0.8."""
+    small = {
+        1: [1.0],
+        3: [0.25, 0.5, 0.25],
+        5: [0.0625, 0.25, 0.375, 0.25, 0.0625],
+        7: [0.03125, 0.109375, 0.21875, 0.28125, 0.21875, 0.109375,
+            0.03125],
+    }
+    if kernel_size in small:
+        return np.asarray(small[kernel_size], np.float64)
+    sigma = 0.3 * ((kernel_size - 1) * 0.5 - 1) + 0.8
+    x = np.arange(kernel_size, dtype=np.float64) - (kernel_size - 1) / 2.0
+    k = np.exp(-(x * x) / (2.0 * sigma * sigma))
+    return k / k.sum()
+
+
+def gaussian_smoother(kernel_size: int = 5) -> Layer:
+    """GaussianSmoother (common_net.py:12-30): fixed (non-trainable)
+    Gaussian blur over each channel with replicate padding."""
+    k1 = _gaussian_kernel_1d(kernel_size)
+    k2 = np.outer(k1, k1).astype(np.float32)
+    pad = (kernel_size - 1) // 2
+
+    def apply(params, x, rng=None, train=False):
+        c = x.shape[-1]
+        xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+                     mode="edge")
+        w = jnp.asarray(k2)[:, :, None, None] * jnp.eye(c)[None, None]
+        return jax.lax.conv_general_dilated(
+            xp, w, window_strides=(1, 1), padding="VALID",
+            dimension_numbers=_DIMSPEC)
+
+    return Layer(lambda key: {}, apply)
+
+
+def _preset_normal_init(key, shape, std=0.002):
+    return std * jax.random.normal(key, shape, jnp.float32)
+
+
+class GaussianVAEHead:
+    """GaussianVAE (common_net.py:42-64): paired mu / softplus-sd linear
+    heads preset to N(0, 0.002).  ``apply`` -> (mu, sd);
+    ``sample`` -> (mu + sd*noise, mu, sd)."""
+
+    def __init__(self, n_in, n_out):
+        self.en_mu = linear(n_in, n_out, w_init=_preset_normal_init,
+                            b_init=_preset_normal_init)
+        self.en_sigma = linear(n_in, n_out, w_init=_preset_normal_init,
+                               b_init=_preset_normal_init)
+
+    def init(self, key):
+        k1, k2 = jax.random.split(key)
+        return {"en_mu": self.en_mu.init(k1),
+                "en_sigma": self.en_sigma.init(k2)}
+
+    def apply(self, params, x):
+        mu = self.en_mu.apply(params["en_mu"], x)
+        sd = jax.nn.softplus(self.en_sigma.apply(params["en_sigma"], x))
+        return mu, sd
+
+    def sample(self, params, x, rng):
+        mu, sd = self.apply(params, x)
+        noise = jax.random.normal(rng, mu.shape, mu.dtype)
+        return mu + sd * noise, mu, sd
+
+
+class GaussianVAE2DHead:
+    """GaussianVAE2D (common_net.py:66-90): conv mu / softplus-sd heads
+    preset to N(0, 0.002)."""
+
+    def __init__(self, n_in, n_out, kernel_size, stride, padding=0):
+        self.en_mu = conv2d(n_in, n_out, kernel_size, stride, padding,
+                            w_init=_preset_normal_init)
+        self.en_sigma = conv2d(n_in, n_out, kernel_size, stride, padding,
+                               w_init=_preset_normal_init)
+
+    def init(self, key):
+        k1, k2 = jax.random.split(key)
+        return {"en_mu": self.en_mu.init(k1),
+                "en_sigma": self.en_sigma.init(k2)}
+
+    def apply(self, params, x):
+        mu = self.en_mu.apply(params["en_mu"], x)
+        sd = jax.nn.softplus(self.en_sigma.apply(params["en_sigma"], x))
+        return mu, sd
+
+    def sample(self, params, x, rng):
+        mu, sd = self.apply(params, x)
+        noise = jax.random.normal(rng, mu.shape, mu.dtype)
+        return mu + sd * noise, mu, sd
+
+
+def bias2d(channels: int) -> Layer:
+    """Bias2d (common_net.py:92-103): learnable per-channel bias preset
+    N(0, 0.002), broadcast over NHW."""
+    return Layer(
+        lambda key: {"b": _preset_normal_init(key, (channels,))},
+        lambda p, x, rng=None, train=False: x + p["b"])
+
+
+def batch_norm_layer(n_out: int, affine: bool = True,
+                     eps: float = 1e-5) -> Layer:
+    """BatchNorm over (N, H, W) per channel using batch statistics
+    (train-mode semantics; see module note).  Works for NHWC (4D) and
+    NC (2D, BatchNorm1d-style) inputs."""
+
+    def init(key):
+        if not affine:
+            return {}
+        return {"scale": jnp.ones((n_out,), jnp.float32),
+                "shift": jnp.zeros((n_out,), jnp.float32)}
+
+    def apply(params, x, rng=None, train=False):
+        axes = tuple(range(x.ndim - 1))
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=axes, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=axes, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + eps)
+        if affine:
+            y = y * params["scale"] + params["shift"]
+        return y.astype(x.dtype)
+
+    return Layer(init, apply)
+
+
+def leaky_relu_ins_conv2d(n_in, n_out, kernel_size, stride,
+                          padding=0) -> Layer:
+    """LeakyReLUINSConv2d (common_net.py:357-367)."""
+    return sequential(conv2d(n_in, n_out, kernel_size, stride, padding),
+                      instance_norm_layer(), leaky_relu_layer())
+
+
+def leaky_relu_ins_conv_transpose2d(n_in, n_out, kernel_size, stride,
+                                    padding=0, output_padding=0) -> Layer:
+    """LeakyReLUINSConvTranspose2d (common_net.py:369-379)."""
+    return sequential(
+        conv2d_transpose(n_in, n_out, kernel_size, stride, padding,
+                         output_padding),
+        instance_norm_layer(), leaky_relu_layer())
+
+
+def relu_ins_conv2d(n_in, n_out, kernel_size, stride, padding=0) -> Layer:
+    """ReLUINSConv2d (common_net.py:385-395 region)."""
+    return sequential(conv2d(n_in, n_out, kernel_size, stride, padding),
+                      instance_norm_layer(), relu_layer())
+
+
+def relu_ins_conv_transpose2d(n_in, n_out, kernel_size, stride, padding=0,
+                              output_padding=0) -> Layer:
+    """ReLUINSConvTranspose2d."""
+    return sequential(
+        conv2d_transpose(n_in, n_out, kernel_size, stride, padding,
+                         output_padding),
+        instance_norm_layer(), relu_layer())
+
+
+def leaky_relu_bn_conv2d(n_in, n_out, kernel_size, stride,
+                         padding=0) -> Layer:
+    """LeakyReLUBNConv2d (common_net.py:294-305): conv (no bias) + BN
+    (affine) + LeakyReLU."""
+    return sequential(
+        conv2d(n_in, n_out, kernel_size, stride, padding, bias=False),
+        batch_norm_layer(n_out, affine=True), leaky_relu_layer())
+
+
+def leaky_relu_bn_conv_transpose2d(n_in, n_out, kernel_size, stride,
+                                   padding=0, output_padding=0) -> Layer:
+    """LeakyReLUBNConvTranspose2d (common_net.py:307-318)."""
+    return sequential(
+        conv2d_transpose(n_in, n_out, kernel_size, stride, padding,
+                         output_padding, bias=False),
+        batch_norm_layer(n_out, affine=True), leaky_relu_layer())
+
+
+def leaky_relu_bnns_conv2d(n_in, n_out, kernel_size, stride,
+                           padding=0) -> Layer:
+    """LeakyReLUBNNSConv2d (common_net.py:320-331): conv + BN(affine=False)
+    + Bias2d + LeakyReLU."""
+    return sequential(
+        conv2d(n_in, n_out, kernel_size, stride, padding),
+        batch_norm_layer(n_out, affine=False), bias2d(n_out),
+        leaky_relu_layer())
+
+
+def leaky_relu_bnns_conv_transpose2d(n_in, n_out, kernel_size, stride,
+                                     padding=0) -> Layer:
+    """LeakyReLUBNNSConvTranspose2d (common_net.py:333-344)."""
+    return sequential(
+        conv2d_transpose(n_in, n_out, kernel_size, stride, padding),
+        batch_norm_layer(n_out, affine=False), bias2d(n_out),
+        leaky_relu_layer())
+
+
+def leaky_relu_bn_linear(n_in, n_out) -> Layer:
+    """LeakyReLUBNLinear (common_net.py:282-292)."""
+    return sequential(linear(n_in, n_out),
+                      batch_norm_layer(n_out, affine=False),
+                      leaky_relu_layer())
+
+
+def leaky_relu_res_block(n_in, n_out, kernel_size, stride,
+                         padding=0) -> Layer:
+    """LeakyReLUResBlock (common_net.py:199-213): conv + LeakyReLU +
+    conv, residual add."""
+    return residual(sequential(
+        conv2d(n_in, n_out, kernel_size, stride, padding),
+        leaky_relu_layer(),
+        conv2d(n_in, n_out, kernel_size, stride, padding)))
+
+
+def leaky_relu_bnns_res_block(n_in, n_out, kernel_size, stride,
+                              padding=0) -> Layer:
+    """LeakyReLUBNNSResBlock (common_net.py:183-197): two biasless convs
+    with affine-free BN, LeakyReLU between, residual add."""
+    return residual(sequential(
+        conv2d(n_in, n_out, kernel_size, stride, padding, bias=False),
+        batch_norm_layer(n_out, affine=False), leaky_relu_layer(),
+        conv2d(n_in, n_out, kernel_size, stride, padding, bias=False),
+        batch_norm_layer(n_out, affine=False)))

@@ -57,11 +57,14 @@ SLOPE = 0.01
 # ---------------------------------------------------------------------------
 
 def _jnp_fwd(x):
-    mean = jnp.mean(x, axis=1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=1, keepdims=True)
+    # moments in f32 (bf16 accumulation over H*W pixels is unusable);
+    # xhat/rstd residuals stay f32 for the backward, y returns to x.dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=1, keepdims=True)
     rstd = jax.lax.rsqrt(var + EPS)
-    xhat = (x - mean) * rstd
-    y = jnp.where(xhat >= 0, xhat, SLOPE * xhat)
+    xhat = (xf - mean) * rstd
+    y = jnp.where(xhat >= 0, xhat, SLOPE * xhat).astype(x.dtype)
     return y, xhat, rstd
 
 
@@ -75,18 +78,20 @@ def _pallas_fwd(x):
     b, hw, c = x.shape
     out_shapes = (
         jax.ShapeDtypeStruct((b, hw, c), x.dtype),
-        jax.ShapeDtypeStruct((b, hw, c), x.dtype),
-        jax.ShapeDtypeStruct((b, 1, c), x.dtype),
+        jax.ShapeDtypeStruct((b, hw, c), jnp.float32),
+        jax.ShapeDtypeStruct((b, 1, c), jnp.float32),
     )
     spec = pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0))
 
     def kernel(x_ref, y_ref, xhat_ref, rstd_ref):
-        x = x_ref[0]
+        # moments in f32 (bf16-safe); y returns to the input dtype
+        x = x_ref[0].astype(jnp.float32)
         mean = jnp.mean(x, axis=0, keepdims=True)
         var = jnp.mean(jnp.square(x - mean), axis=0, keepdims=True)
         rstd = jax.lax.rsqrt(var + EPS)
         xhat = (x - mean) * rstd
-        y_ref[0] = jnp.where(xhat >= 0, xhat, SLOPE * xhat)
+        y_ref[0] = jnp.where(xhat >= 0, xhat,
+                             SLOPE * xhat).astype(y_ref.dtype)
         xhat_ref[0] = xhat
         rstd_ref[0] = rstd
 
@@ -108,13 +113,13 @@ def _pallas_bwd(g, xhat, rstd):
     rspec = pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0))
 
     def kernel(g_ref, xhat_ref, rstd_ref, dx_ref):
-        g = g_ref[0]
+        g = g_ref[0].astype(jnp.float32)
         xhat = xhat_ref[0]
         rstd = rstd_ref[0]
         gp = jnp.where(xhat >= 0, g, SLOPE * g)
         m1 = jnp.mean(gp, axis=0, keepdims=True)
         m2 = jnp.mean(gp * xhat, axis=0, keepdims=True)
-        dx_ref[0] = rstd * (gp - m1 - xhat * m2)
+        dx_ref[0] = (rstd * (gp - m1 - xhat * m2)).astype(dx_ref.dtype)
 
     return pl.pallas_call(
         kernel,
@@ -159,10 +164,10 @@ def _vjp_bwd(res, g):
     if pallas_enabled():
         dx = _pallas_bwd(gr, xhat, rstd)
     else:
-        gp = jnp.where(xhat >= 0, gr, SLOPE * gr)
+        gp = jnp.where(xhat >= 0, gr.astype(jnp.float32), SLOPE * gr)
         m1 = jnp.mean(gp, axis=1, keepdims=True)
         m2 = jnp.mean(gp * xhat, axis=1, keepdims=True)
-        dx = rstd * (gp - m1 - xhat * m2)
+        dx = (rstd * (gp - m1 - xhat * m2)).astype(gr.dtype)
     return (dx.reshape(shape),)
 
 

@@ -12,31 +12,38 @@ host-local data (the standard single-controller JAX recipe).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+import logging
+from typing import Optional, Sequence, Tuple
 
 import jax
 import numpy as np
 
+log = logging.getLogger(__name__)
+
 
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
-               process_id: Optional[int] = None) -> bool:
+               process_id: Optional[int] = None) -> Tuple[bool, str]:
     """Initialize jax.distributed when running multi-process.
 
-    No-ops (returns False) in single-process runs so the same entry
-    points work everywhere.  On TPU pods the arguments are usually
+    Returns ``(ok, reason)``: ``(False, "single-process")`` without
+    touching jax.distributed when ``num_processes <= 1`` (so the same
+    entry points work everywhere), ``(True, "initialized")`` on success,
+    and ``(False, "<error>")`` — logged, never swallowed silently — when
+    initialization fails.  On TPU pods the arguments are usually
     auto-detected from the environment.
     """
+    if num_processes is not None and num_processes <= 1:
+        return False, "single-process"
     try:
-        if num_processes is not None and num_processes <= 1:
-            return False
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes, process_id=process_id)
-        return True
+        return True, "initialized"
     except Exception as e:
-        print(f"multihost initialize skipped: {e}")
-        return False
+        reason = f"{type(e).__name__}: {e}"
+        log.warning("multihost initialize failed: %s", reason)
+        return False, reason
 
 
 def global_batch_from_host_shards(mesh, host_arrays: Sequence[np.ndarray]):

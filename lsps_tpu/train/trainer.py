@@ -34,34 +34,40 @@ Pytree = Any
 # losses (lsps_trainer.py:48-60)
 # ---------------------------------------------------------------------------
 
+def _f32(x):
+    """Loss inputs accumulate in f32 regardless of compute dtype (the
+    bf16 training mode keeps convs in bf16 but reductions in f32)."""
+    return jnp.asarray(x, jnp.float32)
+
+
 def l1_loss(a, b):
     """torch.nn.L1Loss (mean reduction) — lsps_trainer.py:42-49."""
-    return jnp.mean(jnp.abs(a - b))
+    return jnp.mean(jnp.abs(_f32(a) - _f32(b)))
 
 
 def l2_loss(a, b):
     """Elementwise MSE mean — lsps_trainer.py:51-52."""
-    return jnp.mean(jnp.square(a - b))
+    return jnp.mean(jnp.square(_f32(a) - _f32(b)))
 
 
 def kl_loss(mu, sd=None):
     """KL terms (lsps_trainer.py:55-60): with sd,
     sum(mu^2 + sd^2 - log sd^2)/B; without, mean(mu^2)."""
-    mu2 = jnp.square(mu)
+    mu2 = jnp.square(_f32(mu))
     if sd is None:
         return jnp.mean(mu2)
-    sd2 = jnp.square(sd)
+    sd2 = jnp.square(_f32(sd))
     return jnp.sum(mu2 + sd2 - jnp.log(sd2)) / mu.shape[0]
 
 
 def bce_logits_vs_ones(logits):
     """BCE(sigmoid(x), 1) in stable logit form."""
-    return jnp.mean(jax.nn.softplus(-logits))
+    return jnp.mean(jax.nn.softplus(-_f32(logits)))
 
 
 def bce_logits_vs_zeros(logits):
     """BCE(sigmoid(x), 0) in stable logit form."""
-    return jnp.mean(jax.nn.softplus(logits))
+    return jnp.mean(jax.nn.softplus(_f32(logits)))
 
 
 def true_acc(logits):
@@ -72,6 +78,16 @@ def true_acc(logits):
 def fake_acc(logits):
     """Fraction classified fake (sigmoid <= 0.5) — helpers.py:27-32."""
     return jnp.mean((logits <= 0.0).astype(jnp.float32))
+
+
+def cast_tree(tree, dtype):
+    """Cast all floating leaves of a pytree (params f32 at rest ->
+    bf16 for compute; gradients flow back through the cast to f32)."""
+    if dtype is None:
+        return tree
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x, tree)
 
 
 # ---------------------------------------------------------------------------
@@ -117,6 +133,20 @@ class LSPSTrainer:
         self.train_map = bool(hyp.get("train_map", False))
         self.ckpt = CheckpointManager()
 
+        # mixed precision for the conv-heavy image updates: params and
+        # optimizer state stay f32; generator/discriminator forwards run
+        # in bf16 (MXU-native on TPU); losses/reductions accumulate in
+        # f32 (see _f32 in the loss helpers).  Opt in with
+        # `compute_dtype: bfloat16` in hyperparameters.  The pose-VAE
+        # update stays f32 — a 108-d MLP gains nothing from bf16.
+        cd = str(hyp.get("compute_dtype", "float32")).lower()
+        if cd in ("bfloat16", "bf16"):
+            self.compute_dtype = jnp.bfloat16
+        elif cd in ("float32", "f32", "none"):
+            self.compute_dtype = None
+        else:
+            raise ValueError(f"unsupported compute_dtype {cd!r}")
+
         # optional rematerialization of the generator forward: trades
         # recompute for activation memory so large batches fit HBM
         # (hyperparameter `remat: True`; no effect on values/grads)
@@ -136,6 +166,9 @@ class LSPSTrainer:
                                   static_argnames=("feat_mat",))
         self.post_update = jax.jit(self._post_update, donate_argnums=dn,
                                    static_argnames=("mode",))
+        self.pretrain_update = jax.jit(self._pretrain_update,
+                                       donate_argnums=dn,
+                                       static_argnames=("feat_mat",))
 
     # ------------------------------------------------------------------
     def init_state(self, key) -> Dict[str, Pytree]:
@@ -194,13 +227,18 @@ class LSPSTrainer:
     def _gen_update(self, state, images_a, labels_a, images_b, labels_b,
                     rng):
         hyp = self.hyp
+        cd = self.compute_dtype
         params = state["params"]
         r_fwd, r_bab, r_aba, r_vae = jax.random.split(rng, 4)
+        xa = images_a if cd is None else images_a.astype(cd)
+        xb = images_b if cd is None else images_b.astype(cd)
+        dis_p = cast_tree(params["dis"], cd)
 
         def loss_fn(diff):
-            gen_p, map_p = diff["gen"], diff["map"]
+            gen_p = cast_tree(diff["gen"], cd)
+            map_p = cast_tree(diff["map"], cd)
             x_aa, x_ba, x_ab, x_bb, shared = self._gen_fwd(
-                gen_p, images_a, images_b, r_fwd)
+                gen_p, xa, xb, r_fwd)
             x_bab, shared_bab = self.gen.forward_a2b(gen_p, x_ba, rng=r_bab,
                                                      train=True)
             x_aba, shared_aba = self.gen.forward_b2a(gen_p, x_ab, rng=r_aba,
@@ -210,6 +248,8 @@ class LSPSTrainer:
                 labels = jnp.concatenate([labels_a, labels_b], 0)
                 enc_pose, _, _ = self.vae.encode(params["vae"], labels,
                                                  rng=r_vae)
+                if cd is not None:
+                    enc_pose = enc_pose.astype(cd)
                 z_p2d = self.map(map_p, enc_pose)
                 dec_a_full, dec_b_full = self.gen.decode(gen_p, z_p2d)
                 half = dec_a_full.shape[0] // 2
@@ -225,7 +265,7 @@ class LSPSTrainer:
                 data_b, decode_b = x_ab, x_ab
                 matching_z = matching_a = matching_b = 0.0
 
-            outs_a, outs_b, _, _ = self.dis(params["dis"], data_a, data_b)
+            outs_a, outs_b, _, _ = self.dis(dis_p, data_a, data_b)
             ad_loss_a = bce_logits_vs_ones(outs_a)
             ad_loss_b = bce_logits_vs_ones(outs_b)
 
@@ -244,9 +284,12 @@ class LSPSTrainer:
                      + hyp["kl_cycle_link_w"] * (enc_bab + enc_aba)
                      + hyp["ll_map_z_w"] * matching_z
                      + hyp["ll_map_w"] * (matching_a + matching_b))
+            outs = (x_aa, x_ba, x_ab, x_bb, x_aba, x_bab, decode_a,
+                    decode_b)
+            if cd is not None:  # viz/host consumers expect f32
+                outs = tuple(o.astype(jnp.float32) for o in outs)
             aux = {
-                "images": (x_aa, x_ba, x_ab, x_bb, x_aba, x_bab,
-                           decode_a, decode_b),
+                "images": outs,
                 "gen_enc_loss": enc_loss,
                 "gen_enc_loss2": enc_aba + enc_bab,
                 "gen_ad_loss": ad_loss_a + ad_loss_b,
@@ -279,36 +322,42 @@ class LSPSTrainer:
     def _dis_update(self, state, images_a, labels_a, images_b, labels_b,
                     rng, feat_mat: bool = True):
         hyp = self.hyp
+        cd = self.compute_dtype
         params = state["params"]
         r_fwd, r_vae = jax.random.split(rng)
+        xa = images_a if cd is None else images_a.astype(cd)
+        xb = images_b if cd is None else images_b.astype(cd)
+        gen_p = cast_tree(params["gen"], cd)
 
         # generator runs in train mode (noise on) but is frozen here
-        x_aa, x_ba, x_ab, x_bb, shared = self._gen_fwd(
-            params["gen"], images_a, images_b, r_fwd)
+        x_aa, x_ba, x_ab, x_bb, shared = self._gen_fwd(gen_p, xa, xb,
+                                                       r_fwd)
 
         if self.train_map:
             labels = jnp.concatenate([labels_a, labels_b], 0)
             enc_pose, _, _ = self.vae.encode(params["vae"], labels,
                                              rng=r_vae)
-            z_p2d = self.map(params["map"], enc_pose)
-            dec_a_full, dec_b_full = self.gen.decode(params["gen"], z_p2d)
+            if cd is not None:
+                enc_pose = enc_pose.astype(cd)
+            z_p2d = self.map(cast_tree(params["map"], cd), enc_pose)
+            dec_a_full, dec_b_full = self.gen.decode(gen_p, z_p2d)
             half = dec_a_full.shape[0] // 2
             decode_a, decode_b = dec_a_full[:half], dec_b_full[half:]
-            data_a = jnp.concatenate([images_a, x_ba, x_aa, decode_a], 0)
-            data_b = jnp.concatenate([images_b, x_ab, x_bb, decode_b], 0)
+            data_a = jnp.concatenate([xa, x_ba, x_aa, decode_a], 0)
+            data_b = jnp.concatenate([xb, x_ab, x_bb, decode_b], 0)
             ndiv = 4
         elif feat_mat:
-            data_a = jnp.concatenate([images_a, x_ba, x_aa], 0)
-            data_b = jnp.concatenate([images_b, x_ab, x_bb], 0)
+            data_a = jnp.concatenate([xa, x_ba, x_aa], 0)
+            data_b = jnp.concatenate([xb, x_ab, x_bb], 0)
             ndiv = 3
         else:
-            data_a = jnp.concatenate([images_a, x_ba], 0)
-            data_b = jnp.concatenate([images_b, x_ab], 0)
+            data_a = jnp.concatenate([xa, x_ba], 0)
+            data_b = jnp.concatenate([xb, x_ab], 0)
             ndiv = 2
 
         def loss_fn(dis_params):
-            res_a, res_b, feats_a, feats_b = self.dis(dis_params, data_a,
-                                                      data_b)
+            res_a, res_b, feats_a, feats_b = self.dis(
+                cast_tree(dis_params, cd), data_a, data_b)
             n = feats_a.shape[0] // ndiv
 
             feature_loss_a = feature_loss_b = 0.0
@@ -360,27 +409,49 @@ class LSPSTrainer:
         return new_state, aux, None
 
     # ------------------------------------------------------------------
+    # fused pretrain iteration: dis_update then gen_update as ONE XLA
+    # program.  The reference loop dispatches these as two separate
+    # calls per iteration (src/depth_train.py:153-161); fusing them
+    # halves per-step host dispatch and lets XLA overlap/share work.
+    # Math is identical to dis_update(r1) followed by gen_update(r2)
+    # with (r1, r2) = split(rng) — pinned by tests/test_trainer.py.
+    # ------------------------------------------------------------------
+    def _pretrain_update(self, state, images_a, labels_a, images_b,
+                         labels_b, rng, feat_mat: bool = True):
+        r1, r2 = jax.random.split(rng)
+        state, dmet, _ = self._dis_update(state, images_a, labels_a,
+                                          images_b, labels_b, r1,
+                                          feat_mat=feat_mat)
+        state, gmet, outs = self._gen_update(state, images_a, labels_a,
+                                             images_b, labels_b, r2)
+        return state, {**dmet, **gmet}, outs
+
+    # ------------------------------------------------------------------
     # posterior-regression update (lsps_trainer.py:220-262)
     # modes: 0 synth-only, 1 real-only, 3 synth+unlabeled, 4 semi-sup
     # ------------------------------------------------------------------
     def _post_update(self, state, images_a, labels_a, images_b, labels_b,
                      rng, mode: int = 3):
         hyp = self.hyp
+        cd = self.compute_dtype
         params = state["params"]
         r_gen, r_vae_a, r_vae_b = jax.random.split(rng, 3)
+        xa = images_a if cd is None else images_a.astype(cd)
+        xb = images_b if cd is None else images_b.astype(cd)
 
         def loss_fn(dis_params):
+            dis_c = cast_tree(dis_params, cd)
             reg_loss_a = reg_loss_b = 0.0
             feature_loss_a = feature_loss_b = 0.0
             images = (images_a, images_a, images_b, images_b)
 
             if mode == 0:
-                _, pred_a, _ = self.dis.regress_a(dis_params, images_a)
+                _, pred_a, _ = self.dis.regress_a(dis_c, xa)
                 enc_a, _, _ = self.vae.encode(params["vae"], labels_a,
                                               rng=r_vae_a)
                 reg_loss_a = l2_loss(pred_a, enc_a)
             elif mode == 1:
-                _, pred_b, _ = self.dis.regress_b(dis_params, images_b)
+                _, pred_b, _ = self.dis.regress_b(dis_c, xb)
                 enc_b, _, _ = self.vae.encode(params["vae"], labels_b,
                                               rng=r_vae_b)
                 reg_loss_b = l2_loss(pred_b, enc_b)
@@ -388,21 +459,23 @@ class LSPSTrainer:
                 # tiny gen slice for cross-domain feature alignment
                 # (lsps_trainer.py:238-243)
                 x_aa, x_ba, x_ab, x_bb, _ = self.gen(
-                    params["gen"], images_a[0:4], images_b[0:4], rng=r_gen,
-                    train=True)
-                f_aa, f_ba, f_ab, f_bb = self.dis.feats(dis_params, x_aa,
+                    cast_tree(params["gen"], cd), xa[0:4], xb[0:4],
+                    rng=r_gen, train=True)
+                f_aa, f_ba, f_ab, f_bb = self.dis.feats(dis_c, x_aa,
                                                         x_ba, x_ab, x_bb)
                 feature_loss_a = l1_loss(f_ab - f_aa, 0.0)
                 feature_loss_b = l1_loss(f_ba - f_bb, 0.0)
                 images = (x_aa, x_ba, x_ab, x_bb)
+                if cd is not None:  # viz/host consumers expect f32
+                    images = tuple(i.astype(jnp.float32) for i in images)
 
-                _, pred_a, _ = self.dis.regress_a(dis_params, images_a)
+                _, pred_a, _ = self.dis.regress_a(dis_c, xa)
                 enc_a, _, _ = self.vae.encode(params["vae"], labels_a,
                                               rng=r_vae_a)
                 reg_loss_a = l2_loss(pred_a, enc_a)
 
                 if mode == 4:
-                    _, pred_b, _ = self.dis.regress_b(dis_params, images_b)
+                    _, pred_b, _ = self.dis.regress_b(dis_c, xb)
                     enc_b, _, _ = self.vae.encode(params["vae"], labels_b,
                                                   rng=r_vae_b)
                     reg_loss_b = l2_loss(pred_b, enc_b)

@@ -1,11 +1,15 @@
 #!/usr/bin/env python
 """Training-step benchmark on the current backend.
 
-Measures steady-state wall time of the pretrain iteration (dis_update +
-gen_update, full-size NYU model) and of vae_update, at the reference
-batch sizes and at TPU-friendly ones.  Prints one JSON line per config.
+Measures steady-state wall time of the fused pretrain iteration
+(dis_update + gen_update as ONE program, train/trainer.pretrain_update),
+optionally the reference-style two-dispatch variant for comparison, and
+vae_update — full-size NYU model at the reference batch sizes and
+TPU-friendly ones.  Reports MFU from the compiled program's cost
+analysis vs the v5e bf16 peak.  Prints one JSON line per config.
 
 Usage: python scripts/bench_train.py [--batch-sizes 1,8,32]
+       [--compute-dtype bfloat16] [--split]
 """
 
 import argparse
@@ -17,12 +21,17 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
     __file__))))
 
+V5E_PEAK_FLOPS = 197e12
+
 
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--batch-sizes", type=str, default="1,8,32")
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--ch", type=int, default=64)
+    p.add_argument("--compute-dtype", type=str, default="float32")
+    p.add_argument("--split", action="store_true",
+                   help="also time the two-dispatch dis+gen variant")
     opts = p.parse_args(argv)
 
     import numpy as np
@@ -34,39 +43,71 @@ def main(argv=None):
     from lsps_tpu.train import LSPSTrainer
 
     hyp = default_hyperparameters(reg_dim=108, ch=opts.ch)
+    hyp["compute_dtype"] = opts.compute_dtype
     trainer = LSPSTrainer(hyp, donate=True)
-    state = trainer.init_state(jax.random.PRNGKey(0))
     rng = jax.random.PRNGKey(1)
 
     for bs in [int(b) for b in opts.batch_sizes.split(",")]:
+        state = trainer.init_state(jax.random.PRNGKey(0))
         img = jnp.asarray(
             np.random.RandomState(0).randn(bs, 128, 128, 1), jnp.float32)
         lbl = jnp.zeros((bs, 108), jnp.float32)
 
-        # warmup/compile
-        s = state
-        r1, r2 = jax.random.split(rng)
-        s, _, _ = trainer.dis_update(s, img, lbl, img, lbl, r1)
-        s, m, _ = trainer.gen_update(s, img, lbl, img, lbl, r2)
-        jax.block_until_ready(m["gen_total_loss"])
+        try:
+            compiled = trainer.pretrain_update.lower(
+                state, img, lbl, img, lbl, rng).compile()
+            ca = compiled.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops = float(ca.get("flops", 0.0))
+        except Exception:
+            flops = 0.0
 
+        # several warmup calls: first executions are inflated by
+        # program/arg streaming on this backend
+        s = state
+        for _ in range(5):
+            s, m, _ = trainer.pretrain_update(s, img, lbl, img, lbl, rng)
+        jax.block_until_ready(m["gen_total_loss"])
         t0 = time.perf_counter()
         for i in range(opts.iters):
-            r1, r2 = jax.random.split(jax.random.fold_in(rng, i))
-            s, _, _ = trainer.dis_update(s, img, lbl, img, lbl, r1)
-            s, m, _ = trainer.gen_update(s, img, lbl, img, lbl, r2)
+            s, m, _ = trainer.pretrain_update(
+                s, img, lbl, img, lbl, jax.random.fold_in(rng, i))
         jax.block_until_ready(m["gen_total_loss"])
         dt = (time.perf_counter() - t0) / opts.iters
         print(json.dumps({
-            "metric": "pretrain_step", "batch": bs,
+            "metric": "pretrain_step_fused", "batch": bs,
+            "compute_dtype": opts.compute_dtype,
             "value": round(dt * 1e3, 3), "unit": "ms/step",
             "images_per_sec": round(2 * bs / dt, 1),
+            "mfu_pct": round(100.0 * flops / dt / V5E_PEAK_FLOPS, 2)
+            if flops else None,
         }))
 
-        # re-init: donated buffers from the loop invalidated `state`
-        state = trainer.init_state(jax.random.PRNGKey(0))
+        if opts.split:
+            s = trainer.init_state(jax.random.PRNGKey(0))
+            for _ in range(5):
+                r1, r2 = jax.random.split(rng)
+                s, _, _ = trainer.dis_update(s, img, lbl, img, lbl, r1)
+                s, m, _ = trainer.gen_update(s, img, lbl, img, lbl, r2)
+            jax.block_until_ready(m["gen_total_loss"])
+            t0 = time.perf_counter()
+            for i in range(opts.iters):
+                r1, r2 = jax.random.split(jax.random.fold_in(rng, i))
+                s, _, _ = trainer.dis_update(s, img, lbl, img, lbl, r1)
+                s, m, _ = trainer.gen_update(s, img, lbl, img, lbl, r2)
+            jax.block_until_ready(m["gen_total_loss"])
+            dt2 = (time.perf_counter() - t0) / opts.iters
+            print(json.dumps({
+                "metric": "pretrain_step_split", "batch": bs,
+                "compute_dtype": opts.compute_dtype,
+                "value": round(dt2 * 1e3, 3), "unit": "ms/step",
+                "images_per_sec": round(2 * bs / dt2, 1),
+                "fused_speedup": round(dt2 / dt, 3),
+            }))
 
     # vae step at reference batch 128 (64 per domain concatenated)
+    state = trainer.init_state(jax.random.PRNGKey(0))
     y = jnp.asarray(np.random.RandomState(2).randn(128, 108), jnp.float32)
     s, m, _ = trainer.vae_update(state, y, rng)
     jax.block_until_ready(m["vae_total_loss"])

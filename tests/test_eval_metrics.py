@@ -72,3 +72,49 @@ def test_plot_evaluation_writes_pdfs(tmp_path):
     assert os.path.isfile(tmp_path / "test_frameswithin.pdf")
     assert os.path.isfile(tmp_path / "test_joint_mean.pdf")
     assert os.path.isfile(tmp_path / "test_joint_max.pdf")
+
+
+def test_plot_result_3d_saves_and_returns(tmp_path):
+    """plotResult3D parity artifact (reference handpose_evaluation.py:
+    488-681): point cloud + pred/gt skeletons, saved PNG and returned
+    image array."""
+    from lsps_tpu.data.camera import Camera
+
+    cam = Camera.nyu()
+    rng = np.random.RandomState(3)
+    com = np.array([0.0, 0.0, 800.0])
+    gt = com + rng.randn(14, 3) * 30
+    pred = gt + rng.randn(14, 3) * 3
+    hpe = NYUHandposeEvaluation(gt[None], pred[None])
+    assert len(hpe.jointConnections) > 0
+    assert len(hpe.jointColors) == 14
+
+    # synthetic metric-mm depth crop + its crop transform
+    dpt = np.zeros((128, 128), np.float32)
+    dpt[40:90, 40:90] = 800.0 + rng.rand(50, 50) * 60
+    T = np.array([[1.0, 0.0, 256.0], [0.0, 1.0, 176.0], [0.0, 0.0, 1.0]])
+
+    hpe.subfolder = str(tmp_path)
+    hpe.plotResult3D(dpt, T, gt, pred, filename="pc3d", camera=cam,
+                     niceColors=True)
+    import os
+
+    assert os.path.isfile(tmp_path / "pc3d.png")
+    assert os.path.getsize(tmp_path / "pc3d.png") > 1000
+
+    img = hpe.plotResult3D(dpt, T, gt, pred, filename=None, camera=cam)
+    assert img.ndim == 3 and img.shape[2] == 3 and img.size > 0
+
+
+def test_plot_result_3d_nice_colors_without_tables(tmp_path):
+    """niceColors=True on a base evaluation (no per-dataset color
+    tables) must fall back to plain colors, not crash — regression for
+    the synth-config CLI path."""
+    gt = np.random.RandomState(0).randn(2, 36, 3) * 20 + [0, 0, 800]
+    hpe = HandposeEvaluation(gt, gt + 1.0)
+    hpe.subfolder = str(tmp_path)
+    hpe.plotResult3D(None, None, gt[0], gt[0] + 1.0, filename="nofix",
+                     showPC=False, niceColors=True)
+    import os
+
+    assert os.path.isfile(tmp_path / "nofix.png")

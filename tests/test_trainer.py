@@ -86,6 +86,35 @@ def test_dis_and_gen_update(trainer, state):
     assert strip.shape == (1, 128, 1280, 1)
 
 
+def test_pretrain_update_matches_sequential_dis_then_gen(trainer, state):
+    """The fused one-program pretrain step must be bit-equivalent to
+    dispatching dis_update(r1) then gen_update(r2) with
+    (r1, r2) = split(rng) — the reference loop order
+    (depth_train.py:153-161)."""
+    img_a = jnp.array(np.random.RandomState(6).randn(*IMG.shape) * 0.2,
+                      jnp.float32)
+    img_b = jnp.array(np.random.RandomState(7).randn(*IMG.shape) * 0.2,
+                      jnp.float32)
+    lbl = jnp.array(LBL)
+    rng = jax.random.PRNGKey(21)
+
+    sf, mf, outs_f = trainer.pretrain_update(state, img_a, lbl, img_b,
+                                             lbl, rng)
+
+    r1, r2 = jax.random.split(rng)
+    s1, dm, _ = trainer.dis_update(state, img_a, lbl, img_b, lbl, r1)
+    s2, gm, outs_s = trainer.gen_update(s1, img_a, lbl, img_b, lbl, r2)
+
+    assert set(mf) == set(dm) | set(gm)
+    for k, v in {**dm, **gm}.items():
+        np.testing.assert_allclose(np.asarray(mf[k]), np.asarray(v),
+                                   rtol=1e-6, atol=1e-6, err_msg=k)
+    assert _leaf_delta(sf["params"], s2["params"]) < 1e-6
+    for a, b in zip(outs_f, outs_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 @pytest.mark.parametrize("mode", [0, 1, 3, 4])
 def test_post_update_modes(trainer, state, mode):
     img = jnp.array(np.random.RandomState(4).randn(*IMG.shape) * 0.2,
