@@ -45,6 +45,10 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--orbax-dir", type=str, default=None,
                    help="async full-state checkpoints (params + optimizer "
                         "+ step) for preemption-safe resume")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 compute for the conv-heavy updates (params/"
+                        "losses stay f32); same as hyperparameters."
+                        "compute_dtype: bfloat16")
     return p
 
 
@@ -63,6 +67,8 @@ def load_experiment(opts):
     config = NetConfig(opts.config)
     if opts.max_iterations is not None:
         config.hyperparameters["max_iterations"] = opts.max_iterations
+    if getattr(opts, "bf16", False):
+        config.hyperparameters["compute_dtype"] = "bfloat16"
     return config
 
 

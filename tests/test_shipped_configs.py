@@ -55,3 +55,29 @@ def test_shipped_config_constructs_full_system(name, reg_dim):
 def test_synth_config_loads():
     cfg = NetConfig(os.path.join(REPO, "exps", "synth.yaml"))
     assert cfg.datasets["train_a"]["class_name"] == "dataset_hand_synth"
+
+
+def test_bf16_cli_flag_sets_compute_dtype():
+    """--bf16 maps to hyperparameters.compute_dtype=bfloat16
+    (cli/common.py); without it the config default stands."""
+    from lsps_tpu.cli import common as C
+
+    parser = C.base_parser("t")
+    opts = parser.parse_args(["--config", "exps/synth.yaml", "--bf16"])
+    config = C.load_experiment(opts)
+    assert config.hyperparameters["compute_dtype"] == "bfloat16"
+
+    opts = parser.parse_args(["--config", "exps/synth.yaml"])
+    config = C.load_experiment(opts)
+    assert "compute_dtype" not in config.hyperparameters
+
+
+def test_synth_full_config_parses():
+    """The full-size stress config mirrors nnyu.yaml's net shapes."""
+    from lsps_tpu.config import NetConfig
+
+    cfg = NetConfig("exps/synth_full.yaml")
+    assert cfg.hyperparameters["gen"]["ch"] == 64
+    assert cfg.hyperparameters["dis"]["ch"] == 64
+    assert cfg.hyperparameters["map"]["output_ch"] == 256
+    assert cfg.hyperparameters["vae"]["input_dim"] == 108
