@@ -1,0 +1,83 @@
+"""AOT serving export: serialize the fused depth->pose program with
+jax.export and run it back from the artifact alone.
+
+The reference deploys by running torch from a live Python process
+(SURVEY.md §3.4); the export path is the TPU-native replacement —
+a self-contained StableHLO program with weights baked in.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from lsps_tpu.config import default_hyperparameters
+from lsps_tpu.data.camera import Camera
+from lsps_tpu.data.synthetic import render_hand_depth
+from lsps_tpu.models import build_model
+from lsps_tpu.serve import (PoseEstimator, export_pose_program,
+                            load_pose_program, save_pose_program)
+
+HYP = default_hyperparameters(reg_dim=108, small=True)
+HYP["dis"]["ch"] = 4
+HYP["gen"]["ch"] = 4
+
+
+def _estimator_and_batch(batch=2):
+    cam = Camera.nyu()
+    key = jax.random.PRNGKey(0)
+    kd, kv = jax.random.split(key)
+    params = {"dis": build_model(HYP["dis"]).init(kd),
+              "vae": build_model(HYP["vae"]).init(kv)}
+    est = PoseEstimator(HYP, params, camera=cam)
+
+    gen = np.random.RandomState(7)
+    frames, coms, cubes = [], [], []
+    for i in range(batch):
+        com3d = np.array([20.0 * i, -10.0 * i, 750.0 + 30 * i], np.float32)
+        dpt, _ = render_hand_depth(cam, com3d, 36, gen)
+        frames.append(dpt)
+        coms.append(cam.to_img(com3d))
+        cubes.append([300.0, 300.0, 300.0])
+    return est, (np.stack(frames).astype(np.float32),
+                 np.stack(coms).astype(np.float32),
+                 np.asarray(cubes, np.float32))
+
+
+def test_export_roundtrip_static_batch(tmp_path):
+    est, (frames, coms, cubes) = _estimator_and_batch(batch=2)
+    want = est.predict_frames(frames, coms, cubes)
+
+    exported = export_pose_program(est, batch=2,
+                                   frame_shape=frames.shape[1:])
+    path = str(tmp_path / "pose_b2.lsps")
+    save_pose_program(path, exported)
+
+    run = load_pose_program(path)
+    got = run(frames, coms, cubes)
+    assert got.shape == want.shape == (2, 36, 3)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_export_symbolic_batch(tmp_path):
+    est, (frames, coms, cubes) = _estimator_and_batch(batch=3)
+    exported = export_pose_program(est, batch=None,
+                                   frame_shape=frames.shape[1:])
+    path = str(tmp_path / "pose_bN.lsps")
+    save_pose_program(path, exported)
+    run = load_pose_program(path)
+
+    # one artifact, two different batch sizes
+    got3 = run(frames, coms, cubes)
+    got1 = run(frames[:1], coms[:1], cubes[:1])
+    want3 = est.predict_frames(frames, coms, cubes)
+    assert got3.shape == (3, 36, 3) and got1.shape == (1, 36, 3)
+    np.testing.assert_allclose(got3, want3, rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(got1, want3[:1], rtol=1e-5, atol=1e-4)
+
+
+def test_load_rejects_foreign_file(tmp_path):
+    p = tmp_path / "junk.lsps"
+    p.write_bytes(b"not an export")
+    with pytest.raises(ValueError, match="bad header"):
+        load_pose_program(str(p))
