@@ -33,11 +33,17 @@ class PoseEstimator:
     """
 
     def __init__(self, hyp: dict, params, camera: Optional[Camera] = None,
-                 domain: str = "b", dtype=jnp.float32):
+                 domain: str = "b", dtype=jnp.float32, mesh=None):
         """``dtype=jnp.bfloat16`` casts the conv-trunk weights and
         activations to bf16 — at batch 1 the trunk is weight-bandwidth
         bound (the SharedDis trunk holds ~19M params), so bf16 roughly
-        halves latency; the pose decode stays float32."""
+        halves latency; the pose decode stays float32.
+
+        ``mesh``: an optional ``jax.sharding.Mesh`` with a ``data`` axis
+        for throughput serving — weights replicate, the batch shards
+        over ``data``, and GSPMD splits the whole fused program (crop/
+        normalize included) across chips with no host involvement.  The
+        reference serves one frame from one GPU (SURVEY.md §3.4)."""
         self.dis = build_model(hyp["dis"])
         self.vae = build_model(hyp["vae"])
         self.camera = camera or Camera.nyu()
@@ -66,8 +72,19 @@ class PoseEstimator:
             com3d = jax.vmap(self.camera.img_to_3d)(coms)
             return j * (cubes[:, 2:3, None] / 2.0) + com3d[:, None, :]
 
-        self._crops_to_pose = jax.jit(_crops_to_pose)
-        self._frames_to_pose = jax.jit(_frames_to_pose)
+        if mesh is None:
+            self._crops_to_pose = jax.jit(_crops_to_pose)
+            self._frames_to_pose = jax.jit(_frames_to_pose)
+        else:
+            from lsps_tpu.parallel.mesh import batch_sharding, replicated
+            rep, bsh = replicated(mesh), batch_sharding(mesh)
+            self.params = jax.device_put(self.params, rep)
+            self._crops_to_pose = jax.jit(
+                _crops_to_pose, in_shardings=(rep, bsh), out_shardings=bsh)
+            self._frames_to_pose = jax.jit(
+                _frames_to_pose, in_shardings=(rep, bsh, bsh, bsh),
+                out_shardings=bsh)
+        self.mesh = mesh
 
     # ------------------------------------------------------------------
     def predict_crops(self, crops) -> np.ndarray:
