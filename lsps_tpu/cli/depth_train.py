@@ -143,14 +143,21 @@ def main(argv=None):
                     # the reference dispatches two (depth_train.py:153-161)
                     state, metrics, outs = trainer.pretrain_update(
                         state, images_a, labels_a, images_b, labels_b, rng)
-                    assembled = trainer.assemble_outputs(images_a, images_b,
-                                                         outs)
                 else:
                     state, metrics, outs = trainer.post_update(
                         state, images_a, labels_a, images_b, labels_b, rng,
                         mode=mode_idx)
+                # the 10-panel strip is only consumed on the image
+                # cadences — assembling it is an extra XLA dispatch, so
+                # skip it on ordinary steps (host dispatch dominates
+                # small-batch step time on this platform)
+                if ((iterations + 1) % config.image_display_iterations == 0
+                        or (iterations + 1) % config.image_save_iterations
+                        == 0):
                     assembled = trainer.assemble_outputs(images_a, images_b,
                                                          outs)
+                else:
+                    assembled = None
 
                 if (iterations + 1) % config.display == 0:
                     write_loss(iterations, max_iterations, metrics, writer,

@@ -32,11 +32,19 @@ def main(argv=None):
     p.add_argument("--compute-dtype", type=str, default="float32")
     p.add_argument("--split", action="store_true",
                    help="also time the two-dispatch dis+gen variant")
+    p.add_argument("--prng", type=str, default="threefry2x32",
+                   help="PRNG impl (threefry2x32 | rbg | unsafe_rbg): the "
+                        "GaussianNoise layers draw ~B*32*32*256 normals x5 "
+                        "per step; rbg trades bit-stability across "
+                        "shardings for hardware RNG speed")
     opts = p.parse_args(argv)
 
     import numpy as np
 
     import jax
+
+    if opts.prng != "threefry2x32":
+        jax.config.update("jax_default_prng_impl", opts.prng)
     import jax.numpy as jnp
 
     from lsps_tpu.config import default_hyperparameters
