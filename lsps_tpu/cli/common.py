@@ -88,3 +88,30 @@ def make_trainer(config, sch_interval: int):
     # halves peak HBM
     return cls(config.hyperparameters, sch_interval=sch_interval,
                donate=True)
+
+
+_HOST_CPU = None
+
+
+def host_fold_in(key, step: int):
+    """``jax.random.fold_in`` computed on the host CPU backend.
+
+    Identical threefry stream to running it on the accelerator, but no
+    accelerator dispatch: interleaving a tiny device program with the
+    big training step measured ~50 ms/step of extra wall time on the
+    tunneled TPU platform (docs/BENCHMARKS.md round-2 profile notes).
+    Returns a host numpy key so the training jit treats it as ordinary
+    uncommitted input.
+    """
+    global _HOST_CPU
+    import jax
+
+    if _HOST_CPU is None:
+        try:
+            _HOST_CPU = jax.devices("cpu")[0]
+        except RuntimeError:
+            _HOST_CPU = False  # no CPU backend registered
+    if _HOST_CPU is False:
+        return jax.random.fold_in(key, step)
+    with jax.default_device(_HOST_CPU):
+        return np.asarray(jax.random.fold_in(np.asarray(key), step))

@@ -137,7 +137,7 @@ def main(argv=None):
                 labels_a = jnp.asarray(labels_a)
                 labels_b = jnp.asarray(labels_b)
 
-                rng = jax.random.fold_in(rng, iterations)
+                rng = C.host_fold_in(rng, iterations)
                 if not estimate:
                     # one fused XLA program per iteration (dis then gen);
                     # the reference dispatches two (depth_train.py:153-161)

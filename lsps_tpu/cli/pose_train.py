@@ -88,7 +88,7 @@ def main(argv=None):
                 if frac > 0.0:
                     labels = np.concatenate([labels_a, labels_b], 0)
 
-                rngs = jax.random.fold_in(rngs, iterations)
+                rngs = C.host_fold_in(rngs, iterations)
                 state, metrics, _ = trainer.vae_update(
                     state, jnp.asarray(labels), rngs)
 

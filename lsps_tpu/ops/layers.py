@@ -296,11 +296,26 @@ def fused_in_lrelu_layer() -> Layer:
                  fused_instance_norm_leaky_relu(x))
 
 
+def fused_in_layer() -> Layer:
+    """InstanceNorm (no activation) as one Pallas op on TPU — single
+    VMEM residency + saved-moment backward, identical math to
+    instance_norm_layer."""
+    from lsps_tpu.ops.pallas.norm_act import fused_instance_norm
+
+    return Layer(lambda key: {},
+                 lambda p, x, rng=None, train=False:
+                 fused_instance_norm(x))
+
+
 def leaky_ins_res_block(n_in, n_out, dropout: float = 0.0) -> Layer:
     """LeakyINSResBlock (common_net.py:160-181): two 3x3 convs with
     InstanceNorm, LeakyReLU between, residual add.  The IN+LeakyReLU
     pair is fused (Pallas on TPU); param tree keeps a placeholder slot
-    so checkpoints stay layout-compatible with the unfused form."""
+    so checkpoints stay layout-compatible with the unfused form.  The
+    block's second (activation-free) IN deliberately stays XLA-composed:
+    a Pallas kernel there measured 1.5x SLOWER end-to-end (it forces an
+    f32 xhat residual and breaks XLA's fusion across the residual add —
+    see docs/BENCHMARKS.md round-2 notes)."""
     body = [
         conv2d(n_in, n_out, 3, 1, 1),
         fused_in_lrelu_layer(),

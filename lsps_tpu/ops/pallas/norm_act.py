@@ -1,12 +1,17 @@
-"""Pallas TPU kernel: fused InstanceNorm + LeakyReLU with custom VJP.
+"""Pallas TPU kernels: fused InstanceNorm (+ optional LeakyReLU) with
+custom VJP.
 
 The generator's residual stack (SharedResGen, lsps_nets.py:164-272) runs
-IN -> LeakyReLU after every 3x3 conv at 32x32xC.  XLA fuses much of
-this, but the pattern reads the activation twice (mean, then var) before
-the normalize+activation pass; this kernel computes the moments and the
-normalized activation in one VMEM residency per (batch, H*W, C) plane,
-and the custom backward reuses saved (xhat, rstd) instead of
-recomputing moments.
+conv -> IN -> LeakyReLU -> conv -> IN in every block at 32x32xC.  XLA
+fuses much of this, but the pattern reads the activation twice (mean,
+then var) before the normalize(+activation) pass; these kernels compute
+the moments and the normalized activation in one VMEM residency per
+(batch, H*W, C) plane, and the custom backward reuses saved (xhat, rstd)
+instead of recomputing moments.  Both INs of the block are covered:
+``fused_instance_norm_leaky_relu`` (IN + LeakyReLU) and
+``fused_instance_norm`` (the block's second, activation-free IN — on the
+profile this was the largest non-conv cost, a convert+reduce fusion pair
+per block per pass).
 
 Layout: input NHWC reshaped to (B, H*W, C); grid over B; one program
 normalizes a full (H*W, C) plane held in VMEM (32*32*256 fp32 = 1 MB,
@@ -17,9 +22,6 @@ Falls back to the pure-jnp implementation when disabled (CPU tests) via
 """
 
 from __future__ import annotations
-
-import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -49,14 +51,27 @@ def pallas_enabled() -> bool:
 
 
 EPS = 1e-5
-SLOPE = 0.01
+SLOPE = 0.01  # torch LeakyReLU default
+
+
+def _act(xhat, slope):
+    """LeakyReLU with static slope; slope=None -> identity."""
+    if slope is None:
+        return xhat
+    return jnp.where(xhat >= 0, xhat, slope * xhat)
+
+
+def _act_grad(g, xhat, slope):
+    if slope is None:
+        return g
+    return jnp.where(xhat >= 0, g, slope * g)
 
 
 # ---------------------------------------------------------------------------
 # reference (pure jnp) path
 # ---------------------------------------------------------------------------
 
-def _jnp_fwd(x):
+def _jnp_fwd(x, slope):
     # moments in f32 (bf16 accumulation over H*W pixels is unusable);
     # xhat/rstd residuals stay f32 for the backward, y returns to x.dtype
     xf = x.astype(jnp.float32)
@@ -64,7 +79,7 @@ def _jnp_fwd(x):
     var = jnp.mean(jnp.square(xf - mean), axis=1, keepdims=True)
     rstd = jax.lax.rsqrt(var + EPS)
     xhat = (xf - mean) * rstd
-    y = jnp.where(xhat >= 0, xhat, SLOPE * xhat).astype(x.dtype)
+    y = _act(xhat, slope).astype(x.dtype)
     return y, xhat, rstd
 
 
@@ -72,7 +87,7 @@ def _jnp_fwd(x):
 # pallas kernels
 # ---------------------------------------------------------------------------
 
-def _pallas_fwd(x):
+def _pallas_fwd(x, slope):
     from jax.experimental import pallas as pl
 
     b, hw, c = x.shape
@@ -90,8 +105,7 @@ def _pallas_fwd(x):
         var = jnp.mean(jnp.square(x - mean), axis=0, keepdims=True)
         rstd = jax.lax.rsqrt(var + EPS)
         xhat = (x - mean) * rstd
-        y_ref[0] = jnp.where(xhat >= 0, xhat,
-                             SLOPE * xhat).astype(y_ref.dtype)
+        y_ref[0] = _act(xhat, slope).astype(y_ref.dtype)
         xhat_ref[0] = xhat
         rstd_ref[0] = rstd
 
@@ -105,7 +119,7 @@ def _pallas_fwd(x):
     )(x)
 
 
-def _pallas_bwd(g, xhat, rstd):
+def _pallas_bwd(g, xhat, rstd, slope):
     from jax.experimental import pallas as pl
 
     b, hw, c = g.shape
@@ -116,7 +130,7 @@ def _pallas_bwd(g, xhat, rstd):
         g = g_ref[0].astype(jnp.float32)
         xhat = xhat_ref[0]
         rstd = rstd_ref[0]
-        gp = jnp.where(xhat >= 0, g, SLOPE * g)
+        gp = _act_grad(g, xhat, slope)
         m1 = jnp.mean(gp, axis=0, keepdims=True)
         m2 = jnp.mean(gp * xhat, axis=0, keepdims=True)
         dx_ref[0] = (rstd * (gp - m1 - xhat * m2)).astype(dx_ref.dtype)
@@ -132,43 +146,68 @@ def _pallas_bwd(g, xhat, rstd):
 
 
 # ---------------------------------------------------------------------------
-# public op with custom VJP (NHWC)
+# public ops with custom VJP (NHWC)
 # ---------------------------------------------------------------------------
+
+def _fwd_impl(x, slope):
+    b, h, w, c = x.shape
+    xr = x.reshape(b, h * w, c)
+    if pallas_enabled():
+        y, xhat, rstd = _pallas_fwd(xr, slope)
+    else:
+        y, xhat, rstd = _jnp_fwd(xr, slope)
+    return y.reshape(b, h, w, c), xhat, rstd
+
+
+def _bwd_impl(g, xhat, rstd, shape, slope):
+    b, h, w, c = shape
+    gr = g.reshape(b, h * w, c)
+    if pallas_enabled():
+        dx = _pallas_bwd(gr, xhat, rstd, slope)
+    else:
+        gp = _act_grad(gr.astype(jnp.float32), xhat, slope)
+        m1 = jnp.mean(gp, axis=1, keepdims=True)
+        m2 = jnp.mean(gp * xhat, axis=1, keepdims=True)
+        dx = (rstd * (gp - m1 - xhat * m2)).astype(gr.dtype)
+    return dx.reshape(shape)
+
 
 @jax.custom_vjp
 def fused_instance_norm_leaky_relu(x):
     """LeakyReLU(InstanceNorm(x)) on NHWC, fused on TPU via Pallas."""
-    y, _, _ = _fwd_impl(x)
+    y, _, _ = _fwd_impl(x, SLOPE)
     return y
 
 
-def _fwd_impl(x):
-    b, h, w, c = x.shape
-    xr = x.reshape(b, h * w, c)
-    if pallas_enabled():
-        y, xhat, rstd = _pallas_fwd(xr)
-    else:
-        y, xhat, rstd = _jnp_fwd(xr)
-    return y.reshape(b, h, w, c), xhat, rstd
-
-
-def _vjp_fwd(x):
-    y, xhat, rstd = _fwd_impl(x)
+def _lrelu_vjp_fwd(x):
+    y, xhat, rstd = _fwd_impl(x, SLOPE)
     return y, (xhat, rstd, x.shape)
 
 
-def _vjp_bwd(res, g):
+def _lrelu_vjp_bwd(res, g):
     xhat, rstd, shape = res
-    b, h, w, c = shape
-    gr = g.reshape(b, h * w, c)
-    if pallas_enabled():
-        dx = _pallas_bwd(gr, xhat, rstd)
-    else:
-        gp = jnp.where(xhat >= 0, gr.astype(jnp.float32), SLOPE * gr)
-        m1 = jnp.mean(gp, axis=1, keepdims=True)
-        m2 = jnp.mean(gp * xhat, axis=1, keepdims=True)
-        dx = (rstd * (gp - m1 - xhat * m2)).astype(gr.dtype)
-    return (dx.reshape(shape),)
+    return (_bwd_impl(g, xhat, rstd, shape, SLOPE),)
 
 
-fused_instance_norm_leaky_relu.defvjp(_vjp_fwd, _vjp_bwd)
+fused_instance_norm_leaky_relu.defvjp(_lrelu_vjp_fwd, _lrelu_vjp_bwd)
+
+
+@jax.custom_vjp
+def fused_instance_norm(x):
+    """InstanceNorm(x) (no activation) on NHWC, fused on TPU via Pallas —
+    the residual block's second norm (common_net.py:160-181 last IN)."""
+    y, _, _ = _fwd_impl(x, None)
+    return y
+
+
+def _in_vjp_fwd(x):
+    y, xhat, rstd = _fwd_impl(x, None)
+    return y, (xhat, rstd, x.shape)
+
+
+def _in_vjp_bwd(res, g):
+    xhat, rstd, shape = res
+    return (_bwd_impl(g, xhat, rstd, shape, None),)
+
+
+fused_instance_norm.defvjp(_in_vjp_fwd, _in_vjp_bwd)

@@ -79,8 +79,7 @@ def main(argv=None):
         jax.block_until_ready(m["gen_total_loss"])
         t0 = time.perf_counter()
         for i in range(opts.iters):
-            s, m, _ = trainer.pretrain_update(
-                s, img, lbl, img, lbl, jax.random.fold_in(rng, i))
+            s, m, _ = trainer.pretrain_update(s, img, lbl, img, lbl, rng)
         jax.block_until_ready(m["gen_total_loss"])
         dt = (time.perf_counter() - t0) / opts.iters
         print(json.dumps({

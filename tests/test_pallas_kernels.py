@@ -59,3 +59,57 @@ def test_fused_vjp_pallas_interpret(rng, pallas_interpret):
     np.testing.assert_allclose(np.asarray(vjp_fused(g)[0]),
                                np.asarray(vjp_ref(g)[0]),
                                rtol=1e-4, atol=1e-5)
+
+
+# --- plain InstanceNorm kernel (the res block's second, activation-free
+# norm) -----------------------------------------------------------------
+
+def test_plain_in_forward_matches_composed(rng):
+    x = jnp.array(rng.randn(2, 8, 8, 16).astype(np.float32) * 3 + 1)
+    norm_act.set_pallas_enabled(False)
+    y = norm_act.fused_instance_norm(x)
+    np.testing.assert_allclose(np.asarray(y),
+                               np.asarray(L.instance_norm(x)),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_plain_in_forward_pallas_interpret(rng, pallas_interpret):
+    x = jnp.array(rng.randn(2, 8, 8, 16).astype(np.float32) * 3 + 1)
+    y = norm_act.fused_instance_norm(x)
+    np.testing.assert_allclose(np.asarray(y),
+                               np.asarray(L.instance_norm(x)),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_plain_in_vjp_matches_autodiff(rng):
+    x = jnp.array(rng.randn(2, 4, 4, 8).astype(np.float32) * 2)
+    g = jnp.array(rng.randn(2, 4, 4, 8).astype(np.float32))
+    norm_act.set_pallas_enabled(False)
+    _, vjp_fused = jax.vjp(norm_act.fused_instance_norm, x)
+    _, vjp_ref = jax.vjp(L.instance_norm, x)
+    np.testing.assert_allclose(np.asarray(vjp_fused(g)[0]),
+                               np.asarray(vjp_ref(g)[0]),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_plain_in_vjp_pallas_interpret(rng, pallas_interpret):
+    x = jnp.array(rng.randn(1, 4, 4, 8).astype(np.float32) * 2)
+    g = jnp.array(rng.randn(1, 4, 4, 8).astype(np.float32))
+    _, vjp_fused = jax.vjp(norm_act.fused_instance_norm, x)
+    norm_act.set_pallas_enabled(False)
+    _, vjp_ref = jax.vjp(L.instance_norm, x)
+    np.testing.assert_allclose(np.asarray(vjp_fused(g)[0]),
+                               np.asarray(vjp_ref(g)[0]),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_bf16_plain_in_f32_stats(rng, pallas_interpret):
+    """bf16 input: moments must accumulate in f32 (output close to the
+    f32 reference after casting)."""
+    xf = rng.randn(2, 8, 8, 16).astype(np.float32) * 3 + 1
+    x = jnp.asarray(xf, jnp.bfloat16)
+    y = norm_act.fused_instance_norm(x)
+    assert y.dtype == jnp.bfloat16
+    ref = L.instance_norm(jnp.asarray(xf))
+    np.testing.assert_allclose(np.asarray(y, np.float32), np.asarray(ref),
+                               rtol=0.05, atol=0.05)
