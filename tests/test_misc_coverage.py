@@ -58,3 +58,22 @@ def test_save_image_strip(tmp_path):
     p = str(tmp_path / "gen.jpg")
     save_image_strip(strip, p)
     assert os.path.isfile(p)
+
+
+def test_host_fold_in_matches_device_fold_in():
+    """The CLI's host-side rng fold must be bit-identical to the
+    on-device jax.random.fold_in chain (threefry is deterministic
+    across backends) — the training RNG stream must not depend on
+    where the fold runs."""
+    import numpy as np
+    import jax
+
+    from lsps_tpu.cli.common import host_fold_in
+
+    dev = jax.random.PRNGKey(23455)
+    host = np.asarray(dev)
+    for it in (0, 1, 2, 77, 10_000):
+        dev = jax.random.fold_in(dev, it)
+        host = host_fold_in(host, it)
+        assert isinstance(host, np.ndarray)
+        np.testing.assert_array_equal(np.asarray(dev), host)
