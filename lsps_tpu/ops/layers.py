@@ -124,13 +124,18 @@ def conv2d_transpose(n_in: int, n_out: int, kernel_size: int,
         return p
 
     def apply(params, x, rng=None, train=False):
-        w = jnp.flip(params["wt"], (0, 1))
-        y = jax.lax.conv_general_dilated(
-            x, w, window_strides=(1, 1),
-            padding=[(pad_lo, pad_hi), (pad_lo, pad_hi)],
-            lhs_dilation=(stride, stride),
-            dimension_numbers=_DIMSPEC,
-        )
+        if k == 1 and stride == 1 and padding == 0:
+            # 1x1 stride-1 convT == per-pixel channel contraction; a dot
+            # gives XLA a friendlier graph than a 1-output-channel conv
+            y = jnp.tensordot(x, params["wt"][0, 0], axes=[[3], [0]])
+        else:
+            w = jnp.flip(params["wt"], (0, 1))
+            y = jax.lax.conv_general_dilated(
+                x, w, window_strides=(1, 1),
+                padding=[(pad_lo, pad_hi), (pad_lo, pad_hi)],
+                lhs_dilation=(stride, stride),
+                dimension_numbers=_DIMSPEC,
+            )
         if bias:
             y = y + params["b"]
         return y
