@@ -112,6 +112,8 @@ def host_fold_in(key, step: int):
         except RuntimeError:
             _HOST_CPU = False  # no CPU backend registered
     if _HOST_CPU is False:
-        return jax.random.fold_in(key, step)
+        # no CPU backend: keep the numpy-key contract (callers rely on
+        # it) even though the fold itself must run on the accelerator
+        return np.asarray(jax.random.fold_in(key, step))
     with jax.default_device(_HOST_CPU):
         return np.asarray(jax.random.fold_in(np.asarray(key), step))

@@ -124,7 +124,7 @@ def conv2d_transpose(n_in: int, n_out: int, kernel_size: int,
         return p
 
     def apply(params, x, rng=None, train=False):
-        if k == 1 and stride == 1 and padding == 0:
+        if k == 1 and stride == 1 and padding == 0 and output_padding == 0:
             # 1x1 stride-1 convT == per-pixel channel contraction; a dot
             # gives XLA a friendlier graph than a 1-output-channel conv
             y = jnp.tensordot(x, params["wt"][0, 0], axes=[[3], [0]])

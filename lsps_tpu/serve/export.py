@@ -44,6 +44,11 @@ def export_pose_program(est, batch: Optional[int] = 1,
         default = the current default backend.
     Returns a ``jax.export.Exported``.
     """
+    if getattr(est, "mesh", None) is not None:
+        raise ValueError(
+            "export a mesh-free PoseEstimator: a mesh-sharded estimator "
+            "would bake multi-device shardings into the artifact, which "
+            "then cannot load on a single-device serving host")
     params = est.params  # baked into the module as constants
 
     def fn(frames, coms, cubes):

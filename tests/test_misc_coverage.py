@@ -77,3 +77,22 @@ def test_host_fold_in_matches_device_fold_in():
         host = host_fold_in(host, it)
         assert isinstance(host, np.ndarray)
         np.testing.assert_array_equal(np.asarray(dev), host)
+
+
+def test_conv_transpose_1x1_output_padding_shape():
+    """The 1x1 fast path must not swallow output_padding (torch formula:
+    out = (in-1)*s - 2p + k + output_padding)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lsps_tpu.ops import layers as L
+
+    layer = L.conv2d_transpose(4, 2, 1, stride=1, padding=0,
+                               output_padding=1)
+    p = layer.init(jax.random.PRNGKey(0))
+    y = layer.apply(p, jnp.zeros((2, 8, 8, 4)))
+    assert y.shape == (2, 9, 9, 2)
+    # and the fast-path case keeps the same-size output
+    layer0 = L.conv2d_transpose(4, 2, 1, stride=1, padding=0)
+    p0 = layer0.init(jax.random.PRNGKey(0))
+    assert layer0.apply(p0, jnp.zeros((2, 8, 8, 4))).shape == (2, 8, 8, 2)

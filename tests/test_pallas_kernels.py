@@ -54,10 +54,12 @@ def test_fused_vjp_pallas_interpret(rng, pallas_interpret):
     x = jnp.array(rng.randn(1, 4, 4, 8).astype(np.float32) * 2)
     g = jnp.array(rng.randn(1, 4, 4, 8).astype(np.float32))
     _, vjp_fused = jax.vjp(norm_act.fused_instance_norm_leaky_relu, x)
+    # the custom bwd consults pallas_enabled() when the vjp CALLABLE
+    # runs, so the pallas backward must execute before disabling
+    dx_pallas = np.asarray(vjp_fused(g)[0])
     norm_act.set_pallas_enabled(False)
     _, vjp_ref = jax.vjp(_reference, x)
-    np.testing.assert_allclose(np.asarray(vjp_fused(g)[0]),
-                               np.asarray(vjp_ref(g)[0]),
+    np.testing.assert_allclose(dx_pallas, np.asarray(vjp_ref(g)[0]),
                                rtol=1e-4, atol=1e-5)
 
 
@@ -96,10 +98,12 @@ def test_plain_in_vjp_pallas_interpret(rng, pallas_interpret):
     x = jnp.array(rng.randn(1, 4, 4, 8).astype(np.float32) * 2)
     g = jnp.array(rng.randn(1, 4, 4, 8).astype(np.float32))
     _, vjp_fused = jax.vjp(norm_act.fused_instance_norm, x)
+    # execute the pallas backward before disabling (bwd checks the flag
+    # at call time, not at trace time)
+    dx_pallas = np.asarray(vjp_fused(g)[0])
     norm_act.set_pallas_enabled(False)
     _, vjp_ref = jax.vjp(L.instance_norm, x)
-    np.testing.assert_allclose(np.asarray(vjp_fused(g)[0]),
-                               np.asarray(vjp_ref(g)[0]),
+    np.testing.assert_allclose(dx_pallas, np.asarray(vjp_ref(g)[0]),
                                rtol=1e-4, atol=1e-5)
 
 

@@ -116,3 +116,22 @@ def test_latent_walk_shapes():
     assert out_a.shape == (4, 128, 128, 1)
     assert out_b.shape == (4, 128, 128, 1)
     assert np.isfinite(out_a).all()
+
+
+def test_sharded_estimator_rejects_indivisible_batch():
+    from lsps_tpu.parallel.mesh import make_mesh
+
+    cam, dpt, com3d = _frame()
+    key = jax.random.PRNGKey(0)
+    kd, kv = jax.random.split(key)
+    params = {"dis": build_model(HYP["dis"]).init(kd),
+              "vae": build_model(HYP["vae"]).init(kv)}
+    est = PoseEstimator(HYP, params, camera=cam, mesh=make_mesh(n_data=8))
+    with pytest.raises(ValueError, match="not divisible"):
+        est.predict_frame(dpt, cam.to_img(com3d),
+                          np.array([300.0, 300.0, 300.0], np.float32))
+
+    # and a sharded estimator cannot be exported
+    from lsps_tpu.serve import export_pose_program
+    with pytest.raises(ValueError, match="mesh-free"):
+        export_pose_program(est, batch=8)
