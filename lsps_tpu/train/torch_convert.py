@@ -81,6 +81,34 @@ def convert_state_dict(state_dict: Dict[str, Any], template) -> Any:
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+def to_state_dict(params, like: Dict[str, Any] = None) -> Dict[str, Any]:
+    """Inverse converter: our param pytree -> torch-layout state_dict.
+
+    Lets parity be checked from torch tooling too (load our trained
+    weights into the reference nets).  Without ``like``, keys use the
+    normalized names (wrapper ``.model`` Sequentials flattened).  Pass
+    ``like`` = a state_dict of the target torch module to emit ITS key
+    spelling, so ``module.load_state_dict(to_state_dict(p, like=sd))``
+    works with strict=True.
+    """
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    out: Dict[str, Any] = {}
+    for pathspec, leaf in flat:
+        name, our_key = _our_leaf_name(pathspec)
+        t = np.asarray(leaf)
+        if our_key == "w" and t.ndim == 4:
+            t = t.transpose(3, 2, 0, 1)      # HWIO -> OIHW
+        elif our_key == "wt" and t.ndim == 4:
+            t = t.transpose(2, 3, 0, 1)      # (kh, kw, I, O) -> IOHW
+        elif our_key == "w" and t.ndim == 2:
+            t = t.T                           # (in, out) -> (out, in)
+        out[name] = t
+    if like is not None:
+        norm_to_orig = {_normalize_torch_name(k): k for k in like}
+        out = {norm_to_orig.get(k, k): v for k, v in out.items()}
+    return out
+
+
 def load_torch_checkpoint(path: str, template) -> Any:
     """Load a torch-saved state_dict file and convert it."""
     import torch

@@ -357,3 +357,30 @@ def test_mapping_full_forward_parity():
         out_t = tm(z)
     out = jm(params, jnp.asarray(z.numpy()))
     _close_img(out, out_t, "mapping")
+
+
+def test_to_state_dict_roundtrip_strict():
+    """Reverse converter: our pytree loads back into the torch module
+    with strict=True and bit-identical tensors (torch -> pytree ->
+    torch roundtrip), so trained TPU weights can be checked from torch
+    tooling."""
+    from lsps_tpu.train.torch_convert import to_state_dict
+
+    torch.manual_seed(3)
+    tm = TorchSharedDis(CH, HYP["dis"]["n_front_layer"],
+                        HYP["dis"]["n_shared_layer"],
+                        HYP["dis"]["post_dim"]).eval()
+    sd = tm.state_dict()
+    jm = build_model(HYP["dis"])
+    params = convert_state_dict(sd, jm.init(jax.random.PRNGKey(0)))
+
+    back = to_state_dict(params, like=sd)
+    assert set(back) == set(sd)
+    tm2 = TorchSharedDis(CH, HYP["dis"]["n_front_layer"],
+                         HYP["dis"]["n_shared_layer"],
+                         HYP["dis"]["post_dim"]).eval()
+    tm2.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v))
+                         for k, v in back.items()}, strict=True)
+    for k in sd:
+        np.testing.assert_array_equal(_tnp(tm2.state_dict()[k]),
+                                      _tnp(sd[k]), err_msg=k)
