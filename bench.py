@@ -22,14 +22,7 @@ import time
 
 import numpy as np
 
-V5E_PEAK_FLOPS = 197e12  # bf16 peak, one v5e chip
-
-
-def _flops_of(compiled):
-    ca = compiled.cost_analysis()
-    if isinstance(ca, (list, tuple)):
-        ca = ca[0]
-    return float(ca.get("flops", 0.0))
+from lsps_tpu.utils.benchutil import V5E_PEAK_FLOPS, flops_of
 
 
 def _bench_train(jax, jnp, hyp_base, batch, compute_dtype, n_iter=30):
@@ -48,19 +41,23 @@ def _bench_train(jax, jnp, hyp_base, batch, compute_dtype, n_iter=30):
     lb = jnp.asarray(rs.randn(batch, 108).astype(np.float32) * .3)
     rng = jax.random.PRNGKey(1)
 
-    lowered = trainer.pretrain_update.lower(state, ia, la, ib, lb, rng)
-    compiled = lowered.compile()
-    flops = _flops_of(compiled)
+    # AOT-compile once and time the compiled executable directly —
+    # calling the jit wrapper after lower().compile() would compile the
+    # full-size program a SECOND time (the AOT path does not populate
+    # the jit dispatch cache), minutes on this host
+    compiled = trainer.pretrain_update.lower(state, ia, la, ib, lb,
+                                             rng).compile()
+    flops = flops_of(compiled)
 
     # warmup (donation: thread the state linearly).  One call is not
     # enough on this backend — the first few executions of a program are
     # inflated by program/arg streaming, so warm with several.
     for _ in range(5):
-        state, m, _ = trainer.pretrain_update(state, ia, la, ib, lb, rng)
+        state, m, _ = compiled(state, ia, la, ib, lb, rng)
     jax.block_until_ready(m)
     t0 = time.perf_counter()
     for i in range(n_iter):
-        state, m, _ = trainer.pretrain_update(state, ia, la, ib, lb, rng)
+        state, m, _ = compiled(state, ia, la, ib, lb, rng)
     jax.block_until_ready(m)
     ms = (time.perf_counter() - t0) / n_iter * 1e3
     imgs_s = 2 * batch / (ms / 1e3)  # both domains

@@ -235,8 +235,10 @@ def evaluate_estimation(trainer, state, test_loader, di_b, Evaluation,
             # point-cloud artifact (normalize inverse of
             # dataset_hand2.py:27-31; background -> 0 so depth_to_pcl
             # drops it)
+            from lsps_tpu.data.augment import denormalize
+
             d = np.asarray(imgs[0, 0], np.float32)
-            mm = d * (float(cube[0, 2]) / 2.0) + float(com[0, 2])
+            mm = denormalize(d, np.asarray(com[0]), np.asarray(cube[0]))
             mm[d >= 0.99] = 0.0
             first_dpt_mm, first_trans = mm, np.asarray(trans[0])
         x = jnp.asarray(np.transpose(imgs, (0, 2, 3, 1)))

@@ -577,7 +577,10 @@ class POSTImporter(DepthImporter):
         zs = dpt[mask != 0]
         com = np.array(list(reversed(list(com_rc)))
                        + [np.mean(zs[zs != 0])], np.float32)[None]
-        return dpt, com, com
+        # gtorig is image-space (u, v, z); the 3D labels must go through
+        # the camera model like the synth branch, or gt3Dcrop mixes
+        # pixel and mm coordinates
+        return dpt, com, self.joint_img_to_3d(com)
 
     def load_sequence(self, seq_name, nmax=float("inf"), shuffle=False,
                       rng=None, docom=False, cube=None) -> FrameArrays:
@@ -603,14 +606,16 @@ class POSTImporter(DepthImporter):
             dpt, lbl = self.load_depth_map(fname, synth)
             dpt, gtorig, gt3Dorig = self.prepare_samples(dpt, lbl, synth)
 
+            com_guess = np.floor(np.nanmean(gtorig, axis=0))
+            if not np.isfinite(com_guess).all():
+                continue  # empty mask / missing part label on this frame
             hd = HandDetector(dpt, self.fx, self.fy,
                               refine_net=self.refine_net, importer=self)
             try:
                 dpt_c, M, com = hd.crop_area_3d(
-                    com=np.floor(np.nanmean(gtorig, axis=0)),
-                    size=config["cube"], docom=docom)
-            except UserWarning:
-                continue
+                    com=com_guess, size=config["cube"], docom=docom)
+            except (UserWarning, ValueError, TypeError):
+                continue  # unrecoverable frame; skip like the NYU loader
             com3d = self.joint_img_to_3d(com)
             frames.append(DepthFrame(
                 dpt_c.astype(np.float32), gtorig,

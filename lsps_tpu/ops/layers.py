@@ -594,7 +594,10 @@ def leaky_relu_bn_linear(n_in, n_out) -> Layer:
 def leaky_relu_res_block(n_in, n_out, kernel_size, stride,
                          padding=0) -> Layer:
     """LeakyReLUResBlock (common_net.py:199-213): conv + LeakyReLU +
-    conv, residual add."""
+    conv, residual add.  The second conv takes (n_in, n_out) exactly
+    like the reference's — only n_in == n_out is usable in either
+    framework (the residual add requires it), so the shapes are kept
+    reference-identical for checkpoint parity."""
     return residual(sequential(
         conv2d(n_in, n_out, kernel_size, stride, padding),
         leaky_relu_layer(),
@@ -604,7 +607,9 @@ def leaky_relu_res_block(n_in, n_out, kernel_size, stride,
 def leaky_relu_bnns_res_block(n_in, n_out, kernel_size, stride,
                               padding=0) -> Layer:
     """LeakyReLUBNNSResBlock (common_net.py:183-197): two biasless convs
-    with affine-free BN, LeakyReLU between, residual add."""
+    with affine-free BN, LeakyReLU between, residual add.  Second conv
+    is (n_in, n_out) exactly like the reference (see
+    leaky_relu_res_block note)."""
     return residual(sequential(
         conv2d(n_in, n_out, kernel_size, stride, padding, bias=False),
         batch_norm_layer(n_out, affine=False), leaky_relu_layer(),

@@ -21,7 +21,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
     __file__))))
 
-V5E_PEAK_FLOPS = 197e12
+from lsps_tpu.utils.benchutil import V5E_PEAK_FLOPS, flops_of  # noqa: E402
 
 
 def main(argv=None):
@@ -61,13 +61,12 @@ def main(argv=None):
             np.random.RandomState(0).randn(bs, 128, 128, 1), jnp.float32)
         lbl = jnp.zeros((bs, 108), jnp.float32)
 
+        # AOT-compile once and time the compiled executable (the jit
+        # wrapper would recompile the same program a second time)
+        compiled = trainer.pretrain_update.lower(
+            state, img, lbl, img, lbl, rng).compile()
         try:
-            compiled = trainer.pretrain_update.lower(
-                state, img, lbl, img, lbl, rng).compile()
-            ca = compiled.cost_analysis()
-            if isinstance(ca, (list, tuple)):
-                ca = ca[0]
-            flops = float(ca.get("flops", 0.0))
+            flops = flops_of(compiled)
         except Exception:
             flops = 0.0
 
@@ -75,11 +74,11 @@ def main(argv=None):
         # program/arg streaming on this backend
         s = state
         for _ in range(5):
-            s, m, _ = trainer.pretrain_update(s, img, lbl, img, lbl, rng)
+            s, m, _ = compiled(s, img, lbl, img, lbl, rng)
         jax.block_until_ready(m["gen_total_loss"])
         t0 = time.perf_counter()
         for i in range(opts.iters):
-            s, m, _ = trainer.pretrain_update(s, img, lbl, img, lbl, rng)
+            s, m, _ = compiled(s, img, lbl, img, lbl, rng)
         jax.block_until_ready(m["gen_total_loss"])
         dt = (time.perf_counter() - t0) / opts.iters
         print(json.dumps({
