@@ -1,0 +1,164 @@
+"""Minimal production serving daemon for the fused depth->pose program.
+
+The reference has no serving story at all (SURVEY.md §3.4 — its
+"real-time" demo runs a live Python+torch process).  This module wraps
+``serve.inference.PoseEstimator`` in a dependency-free HTTP server
+(stdlib only) so a trained checkpoint serves joints over the network:
+
+    python -m lsps_tpu.serve.server --config exps/nnyu.yaml \
+        [--frac 0.9] [--est] [--port 8642] [--bf16]
+
+Endpoints:
+
+* ``GET  /healthz``  -> ``{"ok": true, "joints": J, "batches": N}``
+* ``POST /predict``  -> body JSON ``{"frames": [[...]], "coms": [[u,v,z]],
+  "cubes": [[x,y,z]]}`` (lists, one entry per frame); response
+  ``{"joints": [[[x,y,z], ...], ...]}`` in metric mm.
+* ``POST /predict_npz`` -> body = an ``.npz`` stream with arrays
+  ``frames``, ``coms``, ``cubes`` (binary path for real frame rates);
+  response is an ``.npz`` stream with array ``joints``.
+
+Threading: BaseHTTPRequestHandler in ThreadingHTTPServer; the estimator
+call itself is serialized with a lock (one XLA program in flight — the
+TPU is already pipelined internally).
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import sys
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+def build_estimator(config_path: str, frac: float = 0.0, est: bool = False,
+                    idx: int = -1, bf16: bool = False, camera=None):
+    """Construct a PoseEstimator from an experiment config + its
+    snapshot checkpoints (latest ``pre_*`` or, with ``est``, the
+    ``pre_est_*`` regression checkpoints; VAE keyed by 2+frac as saved
+    by pose_train)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lsps_tpu.cli import common as C
+    from lsps_tpu.config import NetConfig
+    from lsps_tpu.data.camera import Camera
+    from lsps_tpu.serve.inference import PoseEstimator
+
+    config = NetConfig(config_path)
+    trainer = C.make_trainer(config, sch_interval=1000)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    state, ok = trainer.load_vae(state, config.snapshot_prefix, 2 + frac)
+    if not ok:
+        print("warning: no VAE checkpoint found", file=sys.stderr)
+    state, it = trainer.resume(state, config.snapshot_prefix, idx=idx,
+                               est=est)
+    print(f"serving checkpoint at iteration {it}", file=sys.stderr)
+    if camera is None:
+        camera = Camera.icvl() if "icvl" in config_path else Camera.nyu()
+    dtype = jnp.bfloat16 if bf16 else jnp.float32
+    return PoseEstimator(config.hyperparameters, state["params"],
+                         camera=camera, dtype=dtype)
+
+
+class PoseServer:
+    """Holds the estimator + request counters; builds the handler."""
+
+    def __init__(self, estimator):
+        self.est = estimator
+        self.lock = threading.Lock()
+        self.batches = 0
+
+    def predict(self, frames, coms, cubes) -> np.ndarray:
+        frames = np.asarray(frames, np.float32)
+        coms = np.asarray(coms, np.float32)
+        cubes = np.asarray(cubes, np.float32)
+        if frames.ndim != 3 or coms.shape != (frames.shape[0], 3) \
+                or cubes.shape != (frames.shape[0], 3):
+            raise ValueError(
+                f"shapes: frames {frames.shape} (want B,H,W), coms "
+                f"{coms.shape} / cubes {cubes.shape} (want B,3)")
+        with self.lock:
+            joints = self.est.predict_frames(frames, coms, cubes)
+            self.batches += 1
+        return joints
+
+    def handler(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):  # quiet
+                pass
+
+            def _send(self, code, body: bytes, ctype="application/json"):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path != "/healthz":
+                    return self._send(404, b'{"error": "not found"}')
+                n_j = server.est.vae.input_dim // 3
+                self._send(200, json.dumps(
+                    {"ok": True, "joints": n_j,
+                     "batches": server.batches}).encode())
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n)
+                try:
+                    if self.path == "/predict":
+                        req = json.loads(body)
+                        joints = server.predict(req["frames"], req["coms"],
+                                                req["cubes"])
+                        self._send(200, json.dumps(
+                            {"joints": joints.tolist()}).encode())
+                    elif self.path == "/predict_npz":
+                        data = np.load(io.BytesIO(body))
+                        joints = server.predict(data["frames"],
+                                                data["coms"], data["cubes"])
+                        buf = io.BytesIO()
+                        np.savez(buf, joints=joints)
+                        self._send(200, buf.getvalue(),
+                                   ctype="application/octet-stream")
+                    else:
+                        self._send(404, b'{"error": "not found"}')
+                except Exception as e:  # report, don't kill the server
+                    self._send(400, json.dumps(
+                        {"error": f"{type(e).__name__}: {e}"}).encode())
+
+        return Handler
+
+
+def serve_forever(estimator, port: int = 8642, host: str = "127.0.0.1"):
+    ps = PoseServer(estimator)
+    httpd = ThreadingHTTPServer((host, port), ps.handler())
+    ps.httpd = httpd
+    print(f"serving on http://{host}:{port}", file=sys.stderr)
+    httpd.serve_forever()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="LSPS-TPU pose serving daemon")
+    p.add_argument("--config", required=True)
+    p.add_argument("--frac", type=float, default=0.0)
+    p.add_argument("--est", action="store_true",
+                   help="load the pre_est_* regression checkpoints")
+    p.add_argument("--idx", type=int, default=-1)
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--port", type=int, default=8642)
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    opts = p.parse_args(argv)
+    est = build_estimator(opts.config, frac=opts.frac, est=opts.est,
+                          idx=opts.idx, bf16=opts.bf16)
+    serve_forever(est, port=opts.port, host=opts.host)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

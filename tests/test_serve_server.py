@@ -1,0 +1,103 @@
+"""Serving daemon: health, JSON and npz predict endpoints, input
+validation — against a live ThreadingHTTPServer on an ephemeral port."""
+
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+
+from lsps_tpu.config import default_hyperparameters
+from lsps_tpu.data.camera import Camera
+from lsps_tpu.data.synthetic import render_hand_depth
+from lsps_tpu.models import build_model
+from lsps_tpu.serve.inference import PoseEstimator
+from lsps_tpu.serve.server import PoseServer
+
+HYP = default_hyperparameters(reg_dim=108, small=True)
+HYP["dis"]["ch"] = 4
+HYP["gen"]["ch"] = 4
+
+
+@pytest.fixture(scope="module")
+def server_url():
+    from http.server import ThreadingHTTPServer
+
+    cam = Camera.nyu()
+    kd, kv = jax.random.split(jax.random.PRNGKey(0))
+    params = {"dis": build_model(HYP["dis"]).init(kd),
+              "vae": build_model(HYP["vae"]).init(kv)}
+    ps = PoseServer(PoseEstimator(HYP, params, camera=cam))
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), ps.handler())
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+
+
+def _batch(n=2):
+    cam = Camera.nyu()
+    gen = np.random.RandomState(7)
+    frames, coms = [], []
+    for i in range(n):
+        com3d = np.array([10.0 * i, 0.0, 750.0], np.float32)
+        dpt, _ = render_hand_depth(cam, com3d, 36, gen)
+        frames.append(dpt)
+        coms.append(cam.to_img(com3d))
+    return (np.stack(frames).astype(np.float32),
+            np.stack(coms).astype(np.float32),
+            np.full((n, 3), 300.0, np.float32))
+
+
+def test_healthz(server_url):
+    with urllib.request.urlopen(server_url + "/healthz") as r:
+        body = json.load(r)
+    assert body["ok"] is True and body["joints"] == 36
+
+
+def test_predict_json(server_url):
+    frames, coms, cubes = _batch(2)
+    req = urllib.request.Request(
+        server_url + "/predict",
+        data=json.dumps({"frames": frames.tolist(), "coms": coms.tolist(),
+                         "cubes": cubes.tolist()}).encode(),
+        method="POST")
+    with urllib.request.urlopen(req) as r:
+        joints = np.asarray(json.load(r)["joints"])
+    assert joints.shape == (2, 36, 3)
+    assert np.isfinite(joints).all()
+
+
+def test_predict_npz_matches_json(server_url):
+    frames, coms, cubes = _batch(1)
+    buf = io.BytesIO()
+    np.savez(buf, frames=frames, coms=coms, cubes=cubes)
+    req = urllib.request.Request(server_url + "/predict_npz",
+                                 data=buf.getvalue(), method="POST")
+    with urllib.request.urlopen(req) as r:
+        joints = np.load(io.BytesIO(r.read()))["joints"]
+    assert joints.shape == (1, 36, 3)
+
+    req2 = urllib.request.Request(
+        server_url + "/predict",
+        data=json.dumps({"frames": frames.tolist(), "coms": coms.tolist(),
+                         "cubes": cubes.tolist()}).encode(),
+        method="POST")
+    with urllib.request.urlopen(req2) as r:
+        joints2 = np.asarray(json.load(r)["joints"])
+    np.testing.assert_allclose(joints, joints2, rtol=1e-5, atol=1e-4)
+
+
+def test_bad_shapes_400(server_url):
+    req = urllib.request.Request(
+        server_url + "/predict",
+        data=json.dumps({"frames": [[1.0, 2.0]], "coms": [[0, 0, 1]],
+                         "cubes": [[300, 300, 300]]}).encode(),
+        method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 400
