@@ -101,3 +101,41 @@ def test_bad_shapes_400(server_url):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req)
     assert e.value.code == 400
+
+
+def test_build_estimator_from_snapshots(tmp_path):
+    """The daemon's checkpoint-loading path: write a tiny experiment's
+    snapshots (trainer.save + save_vae) and rebuild a working estimator
+    from the config alone."""
+    import yaml
+
+    from lsps_tpu.serve.server import build_estimator
+    from lsps_tpu.train.trainer import LSPSTrainer
+
+    hyp = dict(HYP)
+    prefix = str(tmp_path / "outputs" / "pre")
+    trainer = LSPSTrainer(hyp)
+    state = trainer.init_state(jax.random.PRNGKey(1))
+    trainer.save(state, prefix, 99)          # pre_gen/pre_dis/... @100
+    trainer.save_vae(state, prefix, 99, 2 + 0.5)
+
+    cfg = {"train": {"snapshot_prefix": prefix,
+                     "snapshot_save_iterations": 100,
+                     "image_save_iterations": 100,
+                     "image_display_iterations": 100,
+                     "display": 10,
+                     "hyperparameters": hyp,
+                     "datasets": {}}}
+    cfg_path = str(tmp_path / "exp.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    est = build_estimator(cfg_path, frac=0.5)
+    frames, coms, cubes = _batch(1)
+    joints = est.predict_frames(frames, coms, cubes)
+    assert joints.shape == (1, 36, 3) and np.isfinite(joints).all()
+    # weights really came from the checkpoint, not a fresh init
+    want = PoseEstimator(hyp, state["params"],
+                         camera=Camera.nyu()).predict_frames(
+        frames, coms, cubes)
+    np.testing.assert_allclose(joints, want, rtol=1e-5, atol=1e-4)
