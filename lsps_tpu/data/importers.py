@@ -600,6 +600,7 @@ class POSTImporter(DepthImporter):
             files += [os.path.join(d, f) for f in sorted(os.listdir(d))]
 
         frames: List[DepthFrame] = []
+        n_skipped = 0
         for fname in files:
             if not os.path.isfile(fname):
                 continue
@@ -608,6 +609,7 @@ class POSTImporter(DepthImporter):
 
             com_guess = np.floor(np.nanmean(gtorig, axis=0))
             if not np.isfinite(com_guess).all():
+                n_skipped += 1
                 continue  # empty mask / missing part label on this frame
             hd = HandDetector(dpt, self.fx, self.fy,
                               refine_net=self.refine_net, importer=self)
@@ -615,6 +617,7 @@ class POSTImporter(DepthImporter):
                 dpt_c, M, com = hd.crop_area_3d(
                     com=com_guess, size=config["cube"], docom=docom)
             except (UserWarning, ValueError, TypeError):
+                n_skipped += 1
                 continue  # unrecoverable frame; skip like the NYU loader
             com3d = self.joint_img_to_3d(com)
             frames.append(DepthFrame(
@@ -625,6 +628,13 @@ class POSTImporter(DepthImporter):
             if len(frames) >= nmax:
                 break
 
+        if n_skipped and not frames:
+            # every frame was skipped — a systematic data problem;
+            # caching an empty sequence would make the failure sticky
+            raise RuntimeError(
+                f"POST sequence {seq_name!r}: all {n_skipped} readable "
+                "frames failed preprocessing (empty masks or crop "
+                "errors); refusing to cache an empty dataset")
         arrays = FrameArrays.from_frames(seq_name, frames, config)
         self._save_cache(cache, arrays)
         if shuffle and rng is not None:

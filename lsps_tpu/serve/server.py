@@ -57,9 +57,22 @@ def build_estimator(config_path: str, frac: float = 0.0, est: bool = False,
         print("warning: no VAE checkpoint found", file=sys.stderr)
     state, it = trainer.resume(state, config.snapshot_prefix, idx=idx,
                                est=est)
+    if it == 0:
+        # resume() silently keeps the template when nothing matches —
+        # a serving daemon must never answer with random-init weights
+        raise RuntimeError(
+            f"no {'est ' if est else ''}checkpoint found under "
+            f"{config.snapshot_prefix!r}")
     print(f"serving checkpoint at iteration {it}", file=sys.stderr)
     if camera is None:
-        camera = Camera.icvl() if "icvl" in config_path else Camera.nyu()
+        # derive intrinsics from the DATASET the checkpoints were
+        # trained on, not the config filename: the ICVL/MSRA dataset
+        # classes use the Intel camera, everything else (NYU, the
+        # synthetic generator, data/synthetic.py:98) the Kinect one
+        classes = " ".join(str(d.get("class_name", ""))
+                           for d in config.datasets.values())
+        camera = (Camera.icvl() if ("ICVL" in classes or "MSRA" in classes)
+                  else Camera.nyu())
     dtype = jnp.bfloat16 if bf16 else jnp.float32
     return PoseEstimator(config.hyperparameters, state["params"],
                          camera=camera, dtype=dtype)
@@ -91,6 +104,9 @@ class PoseServer:
         server = self
 
         class Handler(BaseHTTPRequestHandler):
+            timeout = 60           # slow/stalled clients release threads
+            MAX_BODY = 256 << 20   # refuse absurd request bodies
+
             def log_message(self, fmt, *args):  # quiet
                 pass
 
@@ -111,6 +127,10 @@ class PoseServer:
 
             def do_POST(self):
                 n = int(self.headers.get("Content-Length", 0))
+                if n > self.MAX_BODY:
+                    return self._send(413, json.dumps(
+                        {"error": f"body {n} bytes > {self.MAX_BODY}"}
+                    ).encode())
                 body = self.rfile.read(n)
                 try:
                     if self.path == "/predict":
@@ -129,8 +149,13 @@ class PoseServer:
                                    ctype="application/octet-stream")
                     else:
                         self._send(404, b'{"error": "not found"}')
-                except Exception as e:  # report, don't kill the server
+                except (ValueError, KeyError, TypeError,
+                        json.JSONDecodeError) as e:
+                    # malformed request -> client error
                     self._send(400, json.dumps(
+                        {"error": f"{type(e).__name__}: {e}"}).encode())
+                except Exception as e:  # server fault -> 500, stay up
+                    self._send(500, json.dumps(
                         {"error": f"{type(e).__name__}: {e}"}).encode())
 
         return Handler
