@@ -81,3 +81,40 @@ def test_load_rejects_foreign_file(tmp_path):
     p.write_bytes(b"not an export")
     with pytest.raises(ValueError, match="bad header"):
         load_pose_program(str(p))
+
+
+def test_export_model_cli_from_snapshots(tmp_path):
+    """The export CLI: snapshots -> deployable artifact -> joints, all
+    from the config file alone."""
+    import yaml
+
+    from lsps_tpu.cli.export_model import main as export_main
+    from lsps_tpu.train.trainer import LSPSTrainer
+
+    hyp = dict(HYP)
+    prefix = str(tmp_path / "out" / "pre")
+    trainer = LSPSTrainer(hyp)
+    state = trainer.init_state(jax.random.PRNGKey(2))
+    trainer.save(state, prefix, 99)
+    trainer.save_vae(state, prefix, 99, 2.0)
+
+    cfg_path = str(tmp_path / "exp.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump({"train": {
+            "snapshot_prefix": prefix, "snapshot_save_iterations": 100,
+            "image_save_iterations": 100, "image_display_iterations": 100,
+            "display": 10, "hyperparameters": hyp, "datasets": {}}}, f)
+
+    est, (frames, coms, cubes) = _estimator_and_batch(batch=1)
+    art = str(tmp_path / "pose.lsps")
+    export_main(["--config", cfg_path, "--out", art, "--batch", "1",
+                 "--frame-shape",
+                 f"{frames.shape[1]},{frames.shape[2]}"])
+    run = load_pose_program(art)
+    joints = run(frames, coms, cubes)
+    assert joints.shape == (1, 36, 3)
+    # matches a live estimator built from the same saved params
+    want = PoseEstimator(hyp, state["params"],
+                         camera=est.camera).predict_frames(
+        frames, coms, cubes)
+    np.testing.assert_allclose(joints, want, rtol=1e-5, atol=1e-4)
