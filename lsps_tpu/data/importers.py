@@ -616,9 +616,12 @@ class POSTImporter(DepthImporter):
             try:
                 dpt_c, M, com = hd.crop_area_3d(
                     com=com_guess, size=config["cube"], docom=docom)
-            except (UserWarning, ValueError, TypeError):
+            except (UserWarning, ValueError):
+                # bad frame data; skip like the NYU loader.  TypeError
+                # is deliberately NOT swallowed — it signals a coding
+                # bug, not a data problem (review finding, round 2).
                 n_skipped += 1
-                continue  # unrecoverable frame; skip like the NYU loader
+                continue
             com3d = self.joint_img_to_3d(com)
             frames.append(DepthFrame(
                 dpt_c.astype(np.float32), gtorig,

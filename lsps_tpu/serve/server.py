@@ -36,7 +36,8 @@ import numpy as np
 
 
 def build_estimator(config_path: str, frac: float = 0.0, est: bool = False,
-                    idx: int = -1, bf16: bool = False, camera=None):
+                    idx: int = -1, bf16: bool = False, camera=None,
+                    allow_missing_vae: bool = False):
     """Construct a PoseEstimator from an experiment config + its
     snapshot checkpoints (latest ``pre_*`` or, with ``est``, the
     ``pre_est_*`` regression checkpoints; VAE keyed by 2+frac as saved
@@ -54,7 +55,17 @@ def build_estimator(config_path: str, frac: float = 0.0, est: bool = False,
     state = trainer.init_state(jax.random.PRNGKey(0))
     state, ok = trainer.load_vae(state, config.snapshot_prefix, 2 + frac)
     if not ok:
-        print("warning: no VAE checkpoint found", file=sys.stderr)
+        # vae.decode is the final stage of every /predict (and of any
+        # exported artifact): serving with a random-init VAE silently
+        # produces garbage joints while /healthz reports ok.  Refuse,
+        # like the it==0 guard below, unless explicitly overridden.
+        msg = (f"no VAE checkpoint matched "
+               f"{config.snapshot_prefix}_vae_{2 + frac:.2f}_*")
+        if not allow_missing_vae:
+            raise RuntimeError(
+                msg + " (pass --allow-missing-vae to serve anyway)")
+        print(f"warning: {msg}; serving with random-init VAE",
+              file=sys.stderr)
     state, it = trainer.resume(state, config.snapshot_prefix, idx=idx,
                                est=est)
     if it == 0:
@@ -79,12 +90,20 @@ def build_estimator(config_path: str, frac: float = 0.0, est: bool = False,
 
 
 class PoseServer:
-    """Holds the estimator + request counters; builds the handler."""
+    """Holds the estimator + request counters; builds the handler.
+
+    ``estimator`` is anything with ``predict_frames`` — a live
+    ``PoseEstimator`` (jit) or an ``ArtifactPoseEstimator`` (AOT
+    StableHLO artifact: novel batch sizes never trigger an XLA compile
+    under the request lock)."""
 
     def __init__(self, estimator):
         self.est = estimator
         self.lock = threading.Lock()
         self.batches = 0
+        nj = getattr(estimator, "n_joints", None)
+        self.n_joints = (int(nj) if nj is not None
+                         else estimator.vae.input_dim // 3)
 
     def predict(self, frames, coms, cubes) -> np.ndarray:
         frames = np.asarray(frames, np.float32)
@@ -120,13 +139,16 @@ class PoseServer:
             def do_GET(self):
                 if self.path != "/healthz":
                     return self._send(404, b'{"error": "not found"}')
-                n_j = server.est.vae.input_dim // 3
                 self._send(200, json.dumps(
-                    {"ok": True, "joints": n_j,
+                    {"ok": True, "joints": server.n_joints,
                      "batches": server.batches}).encode())
 
             def do_POST(self):
-                n = int(self.headers.get("Content-Length", 0))
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                except ValueError:
+                    return self._send(400, json.dumps(
+                        {"error": "malformed Content-Length"}).encode())
                 if n > self.MAX_BODY:
                     return self._send(413, json.dumps(
                         {"error": f"body {n} bytes > {self.MAX_BODY}"}
@@ -171,7 +193,15 @@ def serve_forever(estimator, port: int = 8642, host: str = "127.0.0.1"):
 
 def main(argv=None):
     p = argparse.ArgumentParser(description="LSPS-TPU pose serving daemon")
-    p.add_argument("--config", required=True)
+    p.add_argument("--config", default=None,
+                   help="experiment config (live-jit serving from "
+                        "snapshots); not needed with --artifact")
+    p.add_argument("--artifact", default=None,
+                   help="serve a saved AOT artifact (cli.export_model "
+                        "output): no model code / checkpoint needed, and "
+                        "novel batch sizes never compile under the "
+                        "request lock (static-batch artifacts pad to "
+                        "their baked bucket)")
     p.add_argument("--frac", type=float, default=0.0)
     p.add_argument("--est", action="store_true",
                    help="load the pre_est_* regression checkpoints")
@@ -179,9 +209,23 @@ def main(argv=None):
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--port", type=int, default=8642)
     p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--allow-missing-vae", action="store_true",
+                   help="serve even if no VAE checkpoint matches "
+                        "(predictions will be garbage; debug only)")
     opts = p.parse_args(argv)
-    est = build_estimator(opts.config, frac=opts.frac, est=opts.est,
-                          idx=opts.idx, bf16=opts.bf16)
+    if opts.artifact:
+        from lsps_tpu.serve.export import ArtifactPoseEstimator
+
+        est = ArtifactPoseEstimator(opts.artifact)
+        print(f"serving AOT artifact {opts.artifact} "
+              f"(bucket={est.bucket or 'symbolic'}, "
+              f"joints={est.n_joints})", file=sys.stderr)
+    elif opts.config:
+        est = build_estimator(opts.config, frac=opts.frac, est=opts.est,
+                              idx=opts.idx, bf16=opts.bf16,
+                              allow_missing_vae=opts.allow_missing_vae)
+    else:
+        p.error("one of --config or --artifact is required")
     serve_forever(est, port=opts.port, host=opts.host)
 
 

@@ -103,6 +103,53 @@ def test_bad_shapes_400(server_url):
     assert e.value.code == 400
 
 
+def test_malformed_content_length_400(server_url):
+    """A garbage Content-Length header must answer 400, not drop the
+    connection with an unhandled ValueError (round-2 review finding)."""
+    import http.client
+
+    host, port = server_url.replace("http://", "").split(":")
+    conn = http.client.HTTPConnection(host, int(port), timeout=10)
+    conn.putrequest("POST", "/predict", skip_accept_encoding=True)
+    conn.putheader("Content-Length", "not-a-number")
+    conn.endheaders()
+    resp = conn.getresponse()
+    assert resp.status == 400
+    conn.close()
+
+
+def test_build_estimator_missing_vae_refuses(tmp_path):
+    """No matching VAE checkpoint -> RuntimeError (vae.decode is the
+    final stage of every prediction; random-init weights would serve
+    garbage silently).  --allow-missing-vae is the escape hatch."""
+    import yaml
+
+    from lsps_tpu.serve.server import build_estimator
+    from lsps_tpu.train.trainer import LSPSTrainer
+
+    hyp = dict(HYP)
+    prefix = str(tmp_path / "outputs" / "pre")
+    trainer = LSPSTrainer(hyp)
+    state = trainer.init_state(jax.random.PRNGKey(1))
+    trainer.save(state, prefix, 99)  # gen/dis present, NO vae file
+
+    cfg = {"train": {"snapshot_prefix": prefix,
+                     "snapshot_save_iterations": 100,
+                     "image_save_iterations": 100,
+                     "image_display_iterations": 100,
+                     "display": 10,
+                     "hyperparameters": hyp,
+                     "datasets": {}}}
+    cfg_path = str(tmp_path / "exp.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    with pytest.raises(RuntimeError, match="VAE checkpoint"):
+        build_estimator(cfg_path, frac=0.5)
+    est = build_estimator(cfg_path, frac=0.5, allow_missing_vae=True)
+    assert est is not None
+
+
 def test_build_estimator_from_snapshots(tmp_path):
     """The daemon's checkpoint-loading path: write a tiny experiment's
     snapshots (trainer.save + save_vae) and rebuild a working estimator
