@@ -49,6 +49,17 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    help="bf16 compute for the conv-heavy updates (params/"
                         "losses stay f32); same as hyperparameters."
                         "compute_dtype: bfloat16")
+    p.add_argument("--mesh-data", type=int, default=0,
+                   help="data-parallel mesh size: 0 = single device "
+                        "(default), -1 = all local devices, N = N devices."
+                        " The global batch shards over the mesh's data "
+                        "axis; gradients all-reduce over ICI (GSPMD)")
+    p.add_argument("--sch-interval", type=int, default=None,
+                   help="override the LR scheduler step interval "
+                        "(reference: 1000 in pretrain/pose, 100 in "
+                        "estimate — depth_train.py:154-164).  Smaller "
+                        "values compress the MultiStepLR milestones so "
+                        "decay boundaries can be exercised in short runs")
     return p
 
 
@@ -88,6 +99,100 @@ def make_trainer(config, sch_interval: int):
     # halves peak HBM
     return cls(config.hyperparameters, sch_interval=sch_interval,
                donate=True)
+
+
+class MeshRunner:
+    """Data-parallel execution context for the training CLIs.
+
+    The reference trains on exactly one GPU (``trainer.cuda(gpu)``,
+    src/depth_train.py:114); this scales the same loop
+    (src/depth_train.py:140-166) over a ``jax.sharding.Mesh``: the
+    train state is replicated, batch arrays shard over the ``data``
+    axis, the update is pjit-compiled once, and XLA/GSPMD inserts the
+    gradient all-reduce over ICI.  Multi-process (one process per TPU
+    host) feeds per-host shards through
+    ``multihost.global_batch_from_host_shards``.
+    """
+
+    def __init__(self, n_data: int):
+        import jax
+
+        from lsps_tpu.parallel import make_mesh
+
+        n_avail = len(jax.devices())
+        if n_data == -1:
+            n_data = n_avail
+        if n_data < 2:
+            raise ValueError(f"--mesh-data {n_data}: need >= 2 devices "
+                             "(use 0 for the single-device path)")
+        if n_data > n_avail:
+            raise ValueError(
+                f"--mesh-data {n_data} exceeds the {n_avail} available "
+                f"devices ({jax.devices()})")
+        self.n_data = n_data
+        self.mesh = make_mesh(n_data=n_data)
+        self._n_proc = jax.process_count()
+
+    def check_batch(self, batch_size: int, what: str = "batch size"):
+        """The global batch must split evenly over the data axis, or
+        GSPMD cannot lay it out; fail up front with a clear message."""
+        global_batch = batch_size * self._n_proc
+        if global_batch % self.n_data != 0:
+            raise ValueError(
+                f"{what} {batch_size} (global {global_batch} over "
+                f"{self._n_proc} process(es)) is not divisible by the "
+                f"data-mesh size {self.n_data}")
+
+    def shard_state(self, state):
+        from lsps_tpu.parallel import shard_state
+
+        return shard_state(self.mesh, state)
+
+    def wrap(self, update_fn, n_batch_args: int, donate: bool = True):
+        """pjit an update ``(state, *batch, rng) -> (state, ...)`` with
+        batch args sharded on ``data``, everything else replicated."""
+        from lsps_tpu.parallel import pjit_update
+
+        return pjit_update(update_fn, self.mesh, n_batch_args=n_batch_args,
+                           donate_state=donate)
+
+    def place(self, *arrays):
+        """Lay host batch arrays onto the mesh, sharded over ``data``."""
+        import jax
+
+        if self._n_proc > 1:
+            from lsps_tpu.parallel.multihost import (
+                global_batch_from_host_shards)
+
+            return global_batch_from_host_shards(self.mesh, arrays)
+        from lsps_tpu.parallel import shard_batch
+
+        return shard_batch(self.mesh, *arrays)
+
+    def place_padded(self, *arrays):
+        """Pad the leading axis up to a multiple of the mesh size (by
+        repeating the last row), shard, and return ``(arrays, n_valid)``
+        — for eval batches whose size the mesh doesn't divide (the test
+        set's final short batch)."""
+        n = int(arrays[0].shape[0])
+        pad = (-n) % self.n_data
+        if pad:
+            arrays = tuple(
+                np.concatenate([a, np.repeat(a[-1:], pad, axis=0)], 0)
+                for a in arrays)
+        out = self.place(*arrays)
+        if len(arrays) == 1:
+            out = (out,)
+        return out, n
+
+
+def make_mesh_runner(opts):
+    """CLI hook: a MeshRunner when ``--mesh-data`` asks for one, else
+    None (single-device path, bit-identical to round 2)."""
+    n = getattr(opts, "mesh_data", 0)
+    if n == 0:
+        return None
+    return MeshRunner(n)
 
 
 _HOST_CPU = None

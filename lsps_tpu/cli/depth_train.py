@@ -59,7 +59,8 @@ def main(argv=None):
 
     dataset_a, dataset_b, dataset_test = C.make_datasets(config)
     trainer = C.make_trainer(config,
-                             sch_interval=100 if estimate else 1000)
+                             sch_interval=opts.sch_interval
+                             or (100 if estimate else 1000))
     state = trainer.init_state(jax.random.PRNGKey(opts.seed))
     di_b = dataset_b.di
 
@@ -117,6 +118,37 @@ def main(argv=None):
             f"({len(dataset_a)}, {len(dataset_b)}); every batch would be "
             "skipped (cf. reference depth_train.py:143-144)")
 
+    # data-parallel path (--mesh-data): replicate the state over the
+    # mesh AFTER all checkpoint loads, pjit the step with the batch
+    # sharded over the data axis (SURVEY §2.8; the loop being scaled is
+    # the reference's depth_train.py:140-166)
+    # fused-in-step augmentation (LSPS_AUGMENT=step): the loader yields
+    # warp params; the image chain runs inside the training program
+    raw_mode = bool(getattr(loader_a, "raw", False)
+                    and getattr(loader_b, "raw", False))
+    if raw_mode:
+        print("augmentation fused into the training step "
+              "(LSPS_AUGMENT=step)")
+
+    mesh_runner = C.make_mesh_runner(opts)
+    if mesh_runner is not None:
+        mesh_runner.check_batch(batch_size)
+        state = mesh_runner.shard_state(state)
+        if not estimate:
+            base = (trainer._pretrain_update_raw if raw_mode
+                    else trainer._pretrain_update)
+            step_fn = mesh_runner.wrap(base, 4)
+        else:
+            base = (trainer._post_update_raw if raw_mode
+                    else trainer._post_update)
+
+            def _post(s, ia, la, ib, lb, r, _f=base):
+                return _f(s, ia, la, ib, lb, r, mode=mode_idx)
+
+            step_fn = mesh_runner.wrap(_post, 4)
+        print(f"data-parallel over {mesh_runner.n_data} devices "
+              f"(global batch {batch_size * 2} images/step)")
+
     print(f"using {frac:.2f} percent of the labeled real data")
     best_err, best_acc = 100.0, 0.0
     rng = jax.random.PRNGKey(opts.seed + 13)
@@ -124,29 +156,58 @@ def main(argv=None):
     with profile_trace(opts.profile_dir):
         for ep in range(MAX_EPOCHS):
             for batch_a, batch_b in zip(iter(loader_a), iter(loader_b)):
-                images_a, labels_a, com_a, m_a, cube_a = batch_a[:5]
-                images_b, labels_b, com_b, m_b, cube_b = batch_b[:5]
-                if (images_a.shape[0] != batch_size
-                        or images_b.shape[0] != batch_size):
+                in_a, labels_a = batch_a[0], batch_a[1]
+                in_b, labels_b = batch_b[0], batch_b[1]
+                if (labels_a.shape[0] != batch_size
+                        or labels_b.shape[0] != batch_size):
                     continue
-                # NCHW (1,H,W) sample layout -> NHWC device layout
-                images_a = jnp.asarray(
-                    np.transpose(images_a, (0, 2, 3, 1)))
-                images_b = jnp.asarray(
-                    np.transpose(images_b, (0, 2, 3, 1)))
-                labels_a = jnp.asarray(labels_a)
-                labels_b = jnp.asarray(labels_b)
+                if raw_mode:
+                    # in_* are 7-tuples of warp params (all leading B)
+                    if mesh_runner is not None:
+                        in_a = mesh_runner.place(*in_a)
+                        in_b = mesh_runner.place(*in_b)
+                        labels_a, labels_b = mesh_runner.place(labels_a,
+                                                               labels_b)
+                else:
+                    # NCHW (1,H,W) sample layout -> NHWC device layout
+                    in_a = np.transpose(in_a, (0, 2, 3, 1))
+                    in_b = np.transpose(in_b, (0, 2, 3, 1))
+                    if mesh_runner is not None:
+                        in_a, labels_a, in_b, labels_b = \
+                            mesh_runner.place(in_a, labels_a, in_b,
+                                              labels_b)
+                    else:
+                        in_a = jnp.asarray(in_a)
+                        in_b = jnp.asarray(in_b)
+                        labels_a = jnp.asarray(labels_a)
+                        labels_b = jnp.asarray(labels_b)
 
                 rng = C.host_fold_in(rng, iterations)
-                if not estimate:
+                if mesh_runner is not None:
+                    state, metrics, outs = step_fn(
+                        state, in_a, labels_a, in_b, labels_b, rng)
+                elif raw_mode and not estimate:
+                    state, metrics, outs = trainer.pretrain_update_raw(
+                        state, in_a, labels_a, in_b, labels_b, rng)
+                elif raw_mode:
+                    state, metrics, outs = trainer.post_update_raw(
+                        state, in_a, labels_a, in_b, labels_b, rng,
+                        mode=mode_idx)
+                elif not estimate:
                     # one fused XLA program per iteration (dis then gen);
                     # the reference dispatches two (depth_train.py:153-161)
                     state, metrics, outs = trainer.pretrain_update(
-                        state, images_a, labels_a, images_b, labels_b, rng)
+                        state, in_a, labels_a, in_b, labels_b, rng)
                 else:
                     state, metrics, outs = trainer.post_update(
-                        state, images_a, labels_a, images_b, labels_b, rng,
+                        state, in_a, labels_a, in_b, labels_b, rng,
                         mode=mode_idx)
+                if raw_mode:
+                    # raw updates also return the augmented images
+                    # (needed for the viz strip on cadences)
+                    outs, images_a, images_b = outs
+                else:
+                    images_a, images_b = in_a, in_b
                 # the 10-panel strip is only consumed on the image
                 # cadences — assembling it is an extra XLA dispatch, so
                 # skip it on ordinary steps (host dispatch dominates
@@ -181,7 +242,7 @@ def main(argv=None):
                         err, acc = evaluate_estimation(
                             trainer, state, test_loader, di_b, Evaluation,
                             color_idx, bones, image_dir, mode_idx,
-                            "nyu" in opts.config)
+                            "nyu" in opts.config, mesh_runner=mesh_runner)
                         best_err = min(best_err, err)
                         best_acc = max(best_acc, acc)
                         print(f"------------ Mean err: {err:.4f} "
@@ -203,9 +264,12 @@ def main(argv=None):
 
 def evaluate_estimation(trainer, state, test_loader, di_b, Evaluation,
                         color_idx, bones, image_dir, mode_idx,
-                        nyu_protocol):
+                        nyu_protocol, mesh_runner=None):
     """Test-set eval (depth_train.py:185-253): regress posterior ->
-    decode pose -> mm metrics + video/grid artifacts."""
+    decode pose -> mm metrics + video/grid artifacts.  Under a mesh the
+    test batch shards over the data axis (padded to a multiple of the
+    mesh size) and the predictions gather back to the host — the
+    sharded eval join of SURVEY §2.8."""
     import cv2
 
     gt3d, joints = [], []
@@ -214,18 +278,28 @@ def evaluate_estimation(trainer, state, test_loader, di_b, Evaluation,
     params = state["params"]
 
     # build the eval jits once per process (fresh lambdas would retrace
-    # on every eval)
-    if not hasattr(trainer, "_eval_jits"):
-        trainer._eval_jits = {
+    # on every eval); mesh and single-device variants cached separately
+    cache_key = "_eval_jits_mesh" if mesh_runner is not None \
+        else "_eval_jits"
+    if not hasattr(trainer, cache_key):
+        kwargs = {}
+        if mesh_runner is not None:
+            from lsps_tpu.parallel.mesh import batch_sharding, replicated
+
+            rep = replicated(mesh_runner.mesh)
+            bsh = batch_sharding(mesh_runner.mesh)
+            kwargs = {"in_shardings": (rep, bsh)}
+        setattr(trainer, cache_key, {
             "regress_a": jax.jit(
-                lambda p, x: trainer.dis.regress_a(p["dis"], x)),
+                lambda p, x: trainer.dis.regress_a(p["dis"], x), **kwargs),
             "regress_b": jax.jit(
-                lambda p, x: trainer.dis.regress_b(p["dis"], x)),
-            "decode": jax.jit(lambda p, z: trainer.vae.decode(p["vae"], z)),
-        }
-    regress = trainer._eval_jits["regress_a" if mode_idx == 0
-                                 else "regress_b"]
-    decode = trainer._eval_jits["decode"]
+                lambda p, x: trainer.dis.regress_b(p["dis"], x), **kwargs),
+            "decode": jax.jit(lambda p, z: trainer.vae.decode(p["vae"], z),
+                              **kwargs),
+        })
+    jits = getattr(trainer, cache_key)
+    regress = jits["regress_a" if mode_idx == 0 else "regress_b"]
+    decode = jits["decode"]
 
     first_dpt_mm = first_trans = None
     for tit, batch in enumerate(iter(test_loader)):
@@ -241,9 +315,13 @@ def evaluate_estimation(trainer, state, test_loader, di_b, Evaluation,
             mm = denormalize(d, np.asarray(com[0]), np.asarray(cube[0]))
             mm[d >= 0.99] = 0.0
             first_dpt_mm, first_trans = mm, np.asarray(trans[0])
-        x = jnp.asarray(np.transpose(imgs, (0, 2, 3, 1)))
+        x = np.transpose(imgs, (0, 2, 3, 1))
+        if mesh_runner is not None:
+            (x,), n_valid = mesh_runner.place_padded(x)
+        else:
+            x, n_valid = jnp.asarray(x), x.shape[0]
         _, post, _ = regress(params, x)
-        pred = np.asarray(decode(params, post))
+        pred = np.asarray(decode(params, post))[:n_valid]
 
         n = labels.shape[0]
         gt_pose = labels.reshape(n, -1, 3)

@@ -44,7 +44,8 @@ def main(argv=None):
     frac = opts.frac
 
     dataset_a, dataset_b, dataset_test = C.make_datasets(config)
-    trainer = C.make_trainer(config, sch_interval=1000)
+    trainer = C.make_trainer(config,
+                             sch_interval=opts.sch_interval or 1000)
     state = trainer.init_state(jax.random.PRNGKey(opts.seed))
     iterations = 0
 
@@ -75,6 +76,15 @@ def main(argv=None):
             f"({len(dataset_a)}, {len(dataset_b)}); every batch would be "
             "skipped")
 
+    # data-parallel path (--mesh-data): pose labels shard over the
+    # mesh's data axis, vae params/optimizer replicate (SURVEY §2.8)
+    mesh_runner = C.make_mesh_runner(opts)
+    if mesh_runner is not None:
+        mesh_runner.check_batch(batch_size)
+        state = mesh_runner.shard_state(state)
+        vae_step = mesh_runner.wrap(trainer._vae_update, 1)
+        print(f"data-parallel over {mesh_runner.n_data} devices")
+
     print(f"using {frac:.2f} percent of the labeled real data")
     rngs = jax.random.split(jax.random.PRNGKey(opts.seed + 7), 2)[0]
     start = time.time()
@@ -89,8 +99,12 @@ def main(argv=None):
                     labels = np.concatenate([labels_a, labels_b], 0)
 
                 rngs = C.host_fold_in(rngs, iterations)
-                state, metrics, _ = trainer.vae_update(
-                    state, jnp.asarray(labels), rngs)
+                if mesh_runner is not None:
+                    state, metrics, _ = vae_step(
+                        state, mesh_runner.place(labels), rngs)
+                else:
+                    state, metrics, _ = trainer.vae_update(
+                        state, jnp.asarray(labels), rngs)
 
                 if (iterations + 1) % config.display == 0:
                     write_loss(iterations, max_iterations, metrics, writer,

@@ -73,9 +73,11 @@ class _HandDatasetBase:
     # -- batched fast-augmentation path (native fused kernel) -----------
     def enable_fast_augment(self, backend: str = "native") -> bool:
         """Switch the loader to the batched augmentation path
-        (lsps_tpu/data/fast_augment.py): 'native' fused C++ host kernel
-        or 'jax' fused device program. Returns False if unavailable or
-        the dataset mode doesn't apply."""
+        (lsps_tpu/data/fast_augment.py): 'native' fused C++ host kernel,
+        'jax' fused device program, or 'step' (host computes only the
+        per-sample warp params; the image work runs INSIDE the jitted
+        training step — trainer.pretrain_update_raw). Returns False if
+        unavailable or the dataset mode doesn't apply."""
         from lsps_tpu.data import fast_augment
 
         if not (getattr(self, "augment", False)
@@ -86,16 +88,26 @@ class _HandDatasetBase:
         self._fast_augmenter = fast_augment.FastAugmenter(self, backend)
         return True
 
-    def fast_batch(self, idxs):
-        """One augmented batch in this dataset's tuple contract."""
-        imgs, labels, coms, Ms, cubes = self._fast_augmenter.batch(idxs)
-        n = len(idxs)
+    def _fix_labels(self, labels):
+        n = labels.shape[0]
         lab = labels.reshape(n, -1, 3)
         if isinstance(self.joint_subset, np.ndarray):
             lab = lab[:, self.joint_subset].copy()
         if self.flip_y:
             lab[:, :, 1] *= -1
-        return self._batch_tuple(imgs, lab.reshape(n, -1), coms, Ms, cubes)
+        return lab.reshape(n, -1)
+
+    def fast_batch(self, idxs):
+        """One augmented batch in this dataset's tuple contract."""
+        imgs, labels, coms, Ms, cubes = self._fast_augmenter.batch(idxs)
+        return self._batch_tuple(imgs, self._fix_labels(labels), coms, Ms,
+                                 cubes)
+
+    def raw_fast_batch(self, idxs):
+        """One batch of augmentation PARAMS (no image work): ``(raw7,
+        labels, coms, Ms, cubes)`` for the fused-in-step augment path."""
+        raw, labels, coms, Ms, cubes = self._fast_augmenter.raw_batch(idxs)
+        return raw, self._fix_labels(labels), coms, Ms, cubes
 
     def _batch_tuple(self, imgs, labels, coms, Ms, cubes):
         return imgs, labels, coms, Ms, cubes

@@ -63,9 +63,15 @@ class FastAugmenter:
         self.aug_modes = dataset.aug_modes
         self.backend = backend
 
-    def batch(self, idxs) -> Tuple[np.ndarray, ...]:
-        from lsps_tpu import native
-
+    def raw_batch(self, idxs):
+        """Per-sample augmentation parameters WITHOUT the image work:
+        returns ``(raw, labels, com3d, Ms, cubes)`` where ``raw`` is the
+        7-tuple ``(src, minv, com_z, cube_z, premax, zstart, zend)``
+        consumed by either fused kernel.  The random draws keep the
+        reference order (dataset_hand2.py:70-73); the image warp can
+        then run in the C++ kernel, a separate device program, or
+        INSIDE the training step itself (trainer.pretrain_update_raw —
+        one XLA program per step, no separate augment dispatch)."""
         ds, di, hd = self.ds, self.di, self.hd
         seq = ds.seq
         n = len(idxs)
@@ -133,19 +139,28 @@ class FastAugmenter:
         zstart = com_z - cube_z / 2.0
         zend = com_z + cube_z / 2.0
 
+        com3d_out = di.joint_img_to_3d(out_com2d).astype(np.float32)
+        # minv stays float64: the native kernel does its coordinate math
+        # in double; device consumers cast to f32 at trace time
+        raw = (src, minv, com_z, cube_z, premax, zstart, zend)
+        return raw, labels.reshape(n, -1), com3d_out, Ms, cubes
+
+    def batch(self, idxs) -> Tuple[np.ndarray, ...]:
+        raw, labels, com3d_out, Ms, cubes = self.raw_batch(idxs)
+        n = labels.shape[0]
+
         if self.backend == "jax":
             from lsps_tpu.data.augment_jax import (
                 device_recrop_normalize_batch)
 
             imgs = np.asarray(device_recrop_normalize_batch(
-                src, minv, com_z, cube_z, premax, zstart, zend,
-                pad_value=PAD_VALUE, nv_val=NV_VAL))
+                *raw, pad_value=PAD_VALUE, nv_val=NV_VAL))
         else:
-            imgs = native.fused_recrop_normalize_batch(
-                src, minv, com_z, cube_z, premax, zstart, zend,
-                pad_value=PAD_VALUE, nv_val=NV_VAL)
+            from lsps_tpu import native
 
-        com3d_out = di.joint_img_to_3d(out_com2d).astype(np.float32)
+            imgs = native.fused_recrop_normalize_batch(
+                *raw, pad_value=PAD_VALUE, nv_val=NV_VAL)
+
         return (imgs[:, None], labels.reshape(n, -1), com3d_out, Ms,
                 cubes)
 

@@ -42,9 +42,11 @@ class DataLoader:
         self.prefetch = prefetch
         self._rng = np.random.RandomState(seed)
         # batched augmentation path (one fused call per batch:
-        # C++ host kernel or jitted device program)
+        # C++ host kernel or jitted device program); 'step' defers the
+        # image work to the training step itself (raw params only)
         self.fast = bool(fast and hasattr(dataset, "enable_fast_augment")
                          and dataset.enable_fast_augment(fast_backend))
+        self.raw = bool(self.fast and fast_backend == "step")
 
     def __len__(self):
         n = len(self.dataset)
@@ -96,7 +98,10 @@ class DataLoader:
                     if cancel.is_set():
                         return
                     idx = order[b * self.batch_size:(b + 1) * self.batch_size]
-                    if self.fast:
+                    if self.raw:
+                        batch = self.dataset.raw_fast_batch(
+                            [int(i) for i in idx])
+                    elif self.fast:
                         batch = self.dataset.fast_batch(
                             [int(i) for i in idx])
                     else:
@@ -134,17 +139,19 @@ def get_data_loader(dataset, batch_size: int, shuffle: bool,
                     seed: int = 0) -> DataLoader:
     """Reference-named factory (common.py:16-17).  ``LSPS_AUGMENT``
     selects the augmentation backend: ``host`` (default, per-sample cv2
-    bit-parity), ``native`` (fused C++ batch; also via ``LSPS_NATIVE=1``)
-    or ``jax`` (fused device batch)."""
+    bit-parity), ``native`` (fused C++ batch; also via ``LSPS_NATIVE=1``),
+    ``jax`` (fused device batch) or ``step`` (warp params only; the
+    image work runs inside the jitted training step — one XLA program
+    per iteration including augmentation)."""
     import os
 
     backend = os.environ.get("LSPS_AUGMENT", "").lower()
     if not backend and os.environ.get("LSPS_NATIVE", "0") == "1":
         backend = "native"
-    if backend not in ("", "host", "native", "jax"):
+    if backend not in ("", "host", "native", "jax", "step"):
         raise ValueError(
-            f"LSPS_AUGMENT={backend!r} is not one of host|native|jax")
-    fast = backend in ("native", "jax")
+            f"LSPS_AUGMENT={backend!r} is not one of host|native|jax|step")
+    fast = backend in ("native", "jax", "step")
     return DataLoader(dataset, batch_size, shuffle, seed=seed, fast=fast,
                       fast_backend=backend or "native")
 

@@ -129,6 +129,15 @@ class LSPSTrainer:
         self.dis_opt = optim.dis_optimizer(lr, sch_interval)
         self.gen_opt = optim.gen_optimizer(lr, sch_interval)
         self.vae_opt = optim.vae_optimizer(lr, sch_interval)
+        # matching pure LR functions for observability: each update logs
+        # the LR it used (reference logs none; the MultiStepLR milestones
+        # at lsps_trainer.py:32-34 become directly visible in metrics)
+        self._dis_lr = optim.multistep_lr(lr, optim.DIS_GEN_MILESTONES,
+                                          optim.DIS_GEN_GAMMA,
+                                          sch_interval)
+        self._gen_lr = self._dis_lr
+        self._vae_lr = optim.multistep_lr(lr * 10.0, optim.VAE_MILESTONES,
+                                          optim.VAE_GAMMA, sch_interval)
 
         self.train_map = bool(hyp.get("train_map", False))
         self.ckpt = CheckpointManager()
@@ -169,6 +178,14 @@ class LSPSTrainer:
         self.pretrain_update = jax.jit(self._pretrain_update,
                                        donate_argnums=dn,
                                        static_argnames=("feat_mat",))
+        # fused-augment variants: augmentCrop's image chain runs inside
+        # the same program (loader supplies warp params only)
+        self.pretrain_update_raw = jax.jit(self._pretrain_update_raw,
+                                           donate_argnums=dn,
+                                           static_argnames=("feat_mat",))
+        self.post_update_raw = jax.jit(self._post_update_raw,
+                                       donate_argnums=dn,
+                                       static_argnames=("mode",))
 
     # ------------------------------------------------------------------
     def init_state(self, key) -> Dict[str, Pytree]:
@@ -218,7 +235,8 @@ class LSPSTrainer:
             "step": state["step"] + 1,
         }
         metrics = {"vae_total_loss": total, "vae_enc_loss": enc_loss,
-                   "vae_ll_loss": ll_loss}
+                   "vae_ll_loss": ll_loss,
+                   "vae_lr": self._vae_lr(state["opt"]["vae"][2].count)}
         return new_state, metrics, dec
 
     # ------------------------------------------------------------------
@@ -314,6 +332,7 @@ class LSPSTrainer:
             "step": state["step"],
         }
         images = aux.pop("images")
+        aux["gen_lr"] = self._gen_lr(state["opt"]["gen"][2].count)
         return new_state, aux, images
 
     # ------------------------------------------------------------------
@@ -392,6 +411,7 @@ class LSPSTrainer:
                 "dis_loss": loss,
                 "dis_true_acc": 0.5 * (true_acc(ra[0]) + true_acc(rb[0])),
                 "dis_fake_acc": 0.5 * (fake_acc(ra[1]) + fake_acc(rb[1])),
+                "dis_lr": self._dis_lr(state["opt"]["dis"][2].count),
             }
             return loss, aux
 
@@ -425,6 +445,41 @@ class LSPSTrainer:
         state, gmet, outs = self._gen_update(state, images_a, labels_a,
                                              images_b, labels_b, r2)
         return state, {**dmet, **gmet}, outs
+
+    # ------------------------------------------------------------------
+    # fused-augment steps: the image half of augmentCrop (reference
+    # dataset_hand2.py:34-119 — warp + nv/premax sentinels + z-clamp +
+    # normalize) runs INSIDE the training program.  The host supplies
+    # only raw cached crops + per-sample warp params (7 small arrays,
+    # FastAugmenter.raw_batch), so each iteration stays ONE XLA dispatch
+    # — this platform charges ~50 ms for any second program per step
+    # (docs/BENCHMARKS.md).  Numerics = the 'jax' augment backend
+    # (f32 coords, floor(+0.5) NN), parity pinned by the golden tests.
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _device_augment(raw):
+        from lsps_tpu.data.augment_jax import (
+            device_recrop_normalize_batch)
+
+        imgs = device_recrop_normalize_batch(*raw)
+        return imgs[..., None]  # (B, H, W) -> NHWC
+
+    def _pretrain_update_raw(self, state, raw_a, labels_a, raw_b,
+                             labels_b, rng, feat_mat: bool = True):
+        images_a = self._device_augment(raw_a)
+        images_b = self._device_augment(raw_b)
+        state, met, outs = self._pretrain_update(
+            state, images_a, labels_a, images_b, labels_b, rng,
+            feat_mat=feat_mat)
+        return state, met, (outs, images_a, images_b)
+
+    def _post_update_raw(self, state, raw_a, labels_a, raw_b, labels_b,
+                         rng, mode: int = 3):
+        images_a = self._device_augment(raw_a)
+        images_b = self._device_augment(raw_b)
+        state, met, outs = self._post_update(
+            state, images_a, labels_a, images_b, labels_b, rng, mode=mode)
+        return state, met, (outs, images_a, images_b)
 
     # ------------------------------------------------------------------
     # posterior-regression update (lsps_trainer.py:220-262)
@@ -486,6 +541,7 @@ class LSPSTrainer:
             aux = {
                 "dis_reg_loss": reg_loss_a + reg_loss_b,
                 "dis_total_loss": total,
+                "dis_lr": self._dis_lr(state["opt"]["dis"][2].count),
                 "images": images,
             }
             return total, aux

@@ -106,7 +106,7 @@ def write_loss(iterations: int, max_iterations: int,
           f"{elapsed_time:.2f}s")
     writer.write(iterations + 1,
                  {k: v for k, v in metrics.items()
-                  if "loss" in k or "acc" in k})
+                  if "loss" in k or "acc" in k or k.endswith("_lr")})
 
 
 @contextlib.contextmanager

@@ -1,0 +1,173 @@
+"""Fused-in-step augmentation (LSPS_AUGMENT=step): the image half of
+augmentCrop (reference dataset_hand2.py:34-119) runs INSIDE the jitted
+training program; the host supplies warp params only.  Round-2 verdict
+item #2 — close the jitted-vs-wall step-time gap by keeping every
+iteration a single XLA dispatch including augmentation.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+import jax
+import jax.numpy as jnp
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _tiny_trainer(**over):
+    from lsps_tpu.config import default_hyperparameters
+    from lsps_tpu.train import LSPSTrainer
+
+    hyp = default_hyperparameters(reg_dim=12, small=True)
+    hyp["vae"]["input_dim"] = 12
+    hyp["dis"]["reg_dim"] = 12
+    hyp["dis"]["ch"] = 4
+    hyp["gen"]["ch"] = 4
+    hyp.update(over)
+    return LSPSTrainer(hyp)
+
+
+def _raw_batch(b=4, seed=0):
+    """Synthetic warp-param batch: identity-ish transforms over random
+    mm crops."""
+    rs = np.random.RandomState(seed)
+    src = (750.0 + 100.0 * rs.rand(b, 128, 128)).astype(np.float32)
+    src[:, :8] = 0.0  # some background
+    minv = np.tile(np.eye(3), (b, 1, 1))
+    minv[:, 0, 2] = rs.randn(b) * 2.0  # small translations
+    com_z = np.full(b, 780.0, np.float32)
+    cube_z = np.full(b, 300.0, np.float32)
+    premax = com_z + cube_z / 2
+    zstart = com_z - cube_z / 2
+    zend = com_z + cube_z / 2
+    return (src, minv, com_z, cube_z, premax, zstart, zend)
+
+
+def test_pretrain_update_raw_equals_augment_then_update():
+    """pretrain_update_raw(raw, ...) == pretrain_update(augment(raw), ...)
+    — same math, one program."""
+    from lsps_tpu.data.augment_jax import device_recrop_normalize_batch
+
+    trainer = _tiny_trainer()
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    raw_a, raw_b = _raw_batch(4, 0), _raw_batch(4, 1)
+    la = np.random.RandomState(2).randn(4, 12).astype(np.float32) * 0.1
+    lb = np.random.RandomState(3).randn(4, 12).astype(np.float32) * 0.1
+    rng = jax.random.PRNGKey(7)
+
+    imgs_a = np.asarray(device_recrop_normalize_batch(*raw_a))[..., None]
+    imgs_b = np.asarray(device_recrop_normalize_batch(*raw_b))[..., None]
+    s_ref, m_ref, _ = trainer.pretrain_update(
+        state, jnp.asarray(imgs_a), jnp.asarray(la), jnp.asarray(imgs_b),
+        jnp.asarray(lb), rng)
+    s_raw, m_raw, (outs, ia, ib) = trainer.pretrain_update_raw(
+        state, raw_a, la, raw_b, lb, rng)
+
+    np.testing.assert_allclose(np.asarray(ia), imgs_a, rtol=1e-6, atol=1e-6)
+    for k in ("dis_loss", "gen_total_loss", "gen_ll_loss"):
+        np.testing.assert_allclose(float(m_raw[k]), float(m_ref[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+    ref_leaves = jax.tree_util.tree_leaves(s_ref["params"])
+    raw_leaves = jax.tree_util.tree_leaves(s_raw["params"])
+    for a, b in zip(ref_leaves, raw_leaves):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_post_update_raw_mode3():
+    trainer = _tiny_trainer()
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    raw_a, raw_b = _raw_batch(4, 0), _raw_batch(4, 1)
+    la = np.random.RandomState(2).randn(4, 12).astype(np.float32) * 0.1
+    lb = np.random.RandomState(3).randn(4, 12).astype(np.float32) * 0.1
+    state, met, (outs, ia, ib) = trainer.post_update_raw(
+        state, raw_a, la, raw_b, lb, jax.random.PRNGKey(5), mode=3)
+    assert np.isfinite(float(met["dis_total_loss"]))
+    assert ia.shape == (4, 128, 128, 1)
+
+
+def test_dataset_raw_fast_batch_contract():
+    """raw_fast_batch returns the warp-param 7-tuple + the same labels
+    the kernel path produces."""
+    from lsps_tpu.data.loader import get_dataset
+
+    specs = {"seed": 3, "class_name": "dataset_hand_synth", "root": "",
+             "subset": "train", "joint_subset": "NYU", "sample_poses": 0,
+             "augment": True, "docom": False, "n_frames": 6,
+             "n_joints": 36}
+    import lsps_tpu.data.synthetic  # noqa: F401 (registration)
+
+    ds = get_dataset(specs)
+    assert ds.enable_fast_augment("step")
+    raw, labels, coms, Ms, cubes = ds.raw_fast_batch([0, 1, 2])
+    assert len(raw) == 7
+    src, minv = raw[0], raw[1]
+    assert src.shape == (3, 128, 128) and minv.shape == (3, 3, 3)
+    assert labels.shape == (3, 108)
+    # the same RNG draws through the kernel path give the same labels
+    ds2 = get_dataset(specs)
+    assert ds2.enable_fast_augment("jax")
+    imgs2, labels2, coms2, _, cubes2 = ds2.fast_batch([0, 1, 2])[:5]
+    np.testing.assert_allclose(labels, labels2, rtol=0, atol=0)
+    np.testing.assert_allclose(coms, coms2, rtol=0, atol=0)
+    # and the in-step augment of raw == the jax-backend images
+    from lsps_tpu.data.augment_jax import device_recrop_normalize_batch
+
+    imgs = np.asarray(device_recrop_normalize_batch(*raw))
+    np.testing.assert_allclose(imgs, imgs2[:, 0], rtol=1e-6, atol=1e-6)
+
+
+def _make_cfg(tmp, tag):
+    with open(os.path.join(REPO, "exps", "synth.yaml")) as f:
+        doc = yaml.safe_load(f)
+    train = doc["train"]
+    train["snapshot_prefix"] = str(tmp / tag / "pre")
+    train["display"] = 1
+    train["snapshot_save_iterations"] = 1000
+    train["image_save_iterations"] = 1000
+    train["image_display_iterations"] = 2
+    hyp = train["hyperparameters"]
+    hyp["gen"]["ch"] = 4
+    hyp["dis"]["ch"] = 4
+    for ds in train["datasets"].values():
+        ds["sample_poses"] = 200
+        ds["n_frames"] = 8
+    cfg_path = tmp / f"{tag}.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(doc, f)
+    return str(cfg_path)
+
+
+def _metrics(logdir, cfg_path):
+    name = os.path.splitext(os.path.basename(cfg_path))[0]
+    with open(os.path.join(logdir, name, "metrics.jsonl")) as f:
+        return [json.loads(line) for line in f.read().splitlines()]
+
+
+def test_cli_step_backend_matches_jax_backend(tmp_path, monkeypatch):
+    """depth_train with LSPS_AUGMENT=step reproduces the LSPS_AUGMENT=jax
+    trajectory (identical augment math, now inside the train program)."""
+    from lsps_tpu.cli import depth_train
+
+    runs = {}
+    for backend in ("jax", "step"):
+        monkeypatch.setenv("LSPS_AUGMENT", backend)
+        cfg = _make_cfg(tmp_path, backend)
+        log = str(tmp_path / f"logs_{backend}")
+        depth_train.main(["--config", cfg, "--mode", "pretrain",
+                          "--log", log, "--max-iterations", "3",
+                          "--batch-size", "4"])
+        runs[backend] = _metrics(log, cfg)
+        # image cadence ran with the in-step images
+        assert os.path.isfile(str(tmp_path / backend / "images" /
+                                  "gen.jpg"))
+
+    assert len(runs["jax"]) == len(runs["step"]) == 3
+    for rj, rs in zip(runs["jax"], runs["step"]):
+        for k in ("dis_loss", "gen_total_loss"):
+            np.testing.assert_allclose(rs[k], rj[k], rtol=1e-4,
+                                       atol=1e-5, err_msg=k)
