@@ -98,3 +98,50 @@ def load_pose_program(path: str):
 
     call.exported = exported
     return call
+
+
+class ArtifactPoseEstimator:
+    """Drop-in ``predict_frames`` provider backed by a saved AOT
+    artifact: no model code, no checkpoint, and — the point — no
+    per-batch-size XLA recompiles in the serving daemon (an XLA compile
+    is minutes on a small host, and the daemon holds its request lock
+    throughout).  A symbolic-batch artifact executes any batch size
+    directly; a static-batch artifact pads/chunks each request to its
+    baked batch size ("pad to bucket")."""
+
+    def __init__(self, path: str):
+        self.call = load_pose_program(path)
+        exported = self.call.exported
+        in_aval = exported.in_avals[0]
+        b = in_aval.shape[0]
+        self.bucket: Optional[int] = b if isinstance(b, int) else None
+        self.frame_shape = tuple(int(s) for s in in_aval.shape[1:])
+        out_aval = exported.out_avals[0]
+        self.n_joints = int(out_aval.shape[1])
+
+    def predict_frames(self, frames, coms, cubes) -> np.ndarray:
+        frames = np.asarray(frames, np.float32)
+        coms = np.asarray(coms, np.float32)
+        cubes = np.asarray(cubes, np.float32)
+        if frames.shape[1:] != self.frame_shape:
+            raise ValueError(
+                f"frame shape {frames.shape[1:]} != artifact's baked "
+                f"{self.frame_shape}")
+        n = frames.shape[0]
+        if self.bucket is None:  # symbolic batch: any size, one call
+            return self.call(frames, coms, cubes)
+        outs = []
+        for i in range(0, n, self.bucket):
+            f, c, q = (a[i:i + self.bucket] for a in (frames, coms, cubes))
+            k = f.shape[0]
+            if k < self.bucket:  # pad the tail chunk to the bucket
+                pad = self.bucket - k
+                f, c, q = (np.concatenate([a, np.repeat(a[-1:], pad, 0)])
+                           for a in (f, c, q))
+            outs.append(self.call(f, c, q)[:k])
+        return np.concatenate(outs, 0)
+
+    def predict_frame(self, frame, com, cube) -> np.ndarray:
+        return self.predict_frames(np.asarray(frame)[None],
+                                   np.asarray(com)[None],
+                                   np.asarray(cube)[None])[0]

@@ -72,9 +72,21 @@ class PoseEstimator:
             com3d = jax.vmap(self.camera.img_to_3d)(coms)
             return j * (cubes[:, 2:3, None] / 2.0) + com3d[:, None, :]
 
+        def _raw_to_pose(params, frames, cubes):
+            """Raw frames -> ON-DEVICE detection -> joints: the full
+            live path (detect + crop + regress + decode) as one
+            program, no CoM argument (reference's host-side
+            handdetector.detect at SURVEY §3.4 made device-resident)."""
+            from lsps_tpu.serve.detect_jax import device_detect_batch
+
+            coms = device_detect_batch(frames, cubes, self.camera.fx,
+                                       self.camera.fy)
+            return _frames_to_pose(params, frames, coms, cubes), coms
+
         if mesh is None:
             self._crops_to_pose = jax.jit(_crops_to_pose)
             self._frames_to_pose = jax.jit(_frames_to_pose)
+            self._raw_to_pose = jax.jit(_raw_to_pose)
         else:
             from lsps_tpu.parallel.mesh import batch_sharding, replicated
             rep, bsh = replicated(mesh), batch_sharding(mesh)
@@ -84,6 +96,9 @@ class PoseEstimator:
             self._frames_to_pose = jax.jit(
                 _frames_to_pose, in_shardings=(rep, bsh, bsh, bsh),
                 out_shardings=bsh)
+            self._raw_to_pose = jax.jit(
+                _raw_to_pose, in_shardings=(rep, bsh, bsh),
+                out_shardings=(bsh, bsh))
         self.mesh = mesh
 
     # ------------------------------------------------------------------
@@ -115,6 +130,24 @@ class PoseEstimator:
     def predict_frame(self, frame, com, cube) -> np.ndarray:
         return self.predict_frames(frame[None], np.asarray(com)[None],
                                    np.asarray(cube)[None])[0]
+
+    def predict_raw(self, frames, cubes=None, return_coms: bool = False):
+        """Raw (B, H, W) frames -> (B, J, 3) metric joints with the CoM
+        DETECTED on device (one XLA program end-to-end; no detector
+        argument).  ``cubes`` defaults to a 300 mm cube per frame.  A
+        frame where detection fails (no qualifying depth slice) returns
+        a zero CoM and, consequently, degenerate joints — callers can
+        screen with ``return_coms=True``."""
+        frames = np.asarray(frames, np.float32)
+        if cubes is None:
+            cubes = np.full((frames.shape[0], 3), 300.0, np.float32)
+        self._check_batch(frames.shape[0])
+        joints, coms = self._raw_to_pose(
+            self.params, jnp.asarray(frames),
+            jnp.asarray(cubes, jnp.float32))
+        if return_coms:
+            return np.asarray(joints), np.asarray(coms)
+        return np.asarray(joints)
 
 
 def latent_walk(gen, gen_params, z_start, z_end, steps: int = 16,
