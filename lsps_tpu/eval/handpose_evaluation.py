@@ -251,33 +251,93 @@ class HandposeEvaluation:
         plt.close(fig)
         return buf
 
-    def plotResult(self, dpt, gtcrop, joint, name=None, show_gt=True,
-                   upsample=4.0, annoscale=1):
-        """Annotated depth image with gt (red) and prediction (blue)
-        skeletons (handpose_evaluation.py:348-486).  Returns the image
-        when ``name`` is None, else saves it."""
+    def plotJoints(self, img, joint, color="nice", jcolor=None,
+                   annoscale=1):
+        """Draw one skeleton onto a BGR image (plotJoints parity,
+        handpose_evaluation.py:437-485): per-connection then per-joint
+        colors from the dataset tables when ``'nice'``, their luma
+        grayscale when ``'gray'`` (rgb_to_gray, helpers.py:136-143),
+        or a fixed BGR tuple."""
         import cv2
 
-        img = np.asarray(dpt, np.float32).copy()
-        lo, hi = img.min(), img.max()
-        img = (img - lo) / max(hi - lo, 1e-6) * 255.0
+        joint = np.asarray(joint)
+        conns = self.jointConnections or []
+
+        def _conn_color(i):
+            if color == "nice" and self.jointConnectionColors:
+                return _to_bgr255(self.jointConnectionColors[i])
+            if color == "gray" and self.jointConnectionColors:
+                return _to_bgr255(_rgb_to_gray(
+                    self.jointConnectionColors[i]))
+            if color in ("nice", "gray"):
+                return (0, 0, 255)
+            return color
+
+        def _joint_color(i):
+            jc = color if jcolor is None else jcolor
+            if jc == "nice" and self.jointColors:
+                return _to_bgr255(self.jointColors[i])
+            if jc == "gray" and self.jointColors:
+                return _to_bgr255(_rgb_to_gray(self.jointColors[i]))
+            if jc in ("nice", "gray"):
+                return (0, 0, 255)
+            return jc
+
+        if conns and joint.shape[0] > np.max(np.asarray(
+                [c[:2] for c in conns])):
+            for i, c in enumerate(conns):
+                p0 = (int(np.rint(joint[c[0], 0])),
+                      int(np.rint(joint[c[0], 1])))
+                p1 = (int(np.rint(joint[c[1], 0])),
+                      int(np.rint(joint[c[1], 1])))
+                cv2.line(img, p0, p1, _conn_color(i),
+                         thickness=3 * annoscale, lineType=cv2.LINE_AA)
+        for i in range(joint.shape[0]):
+            p = (int(np.rint(joint[i, 0])), int(np.rint(joint[i, 1])))
+            cv2.circle(img, p, 6 * annoscale, _joint_color(i),
+                       thickness=-1, lineType=cv2.LINE_AA)
+
+    def plotResult(self, dpt, gtcrop, joint, name=None, show_gt=True,
+                   upsample=4.0, annoscale=1, niceColors=False,
+                   showJoints=True, showDepth=True):
+        """Annotated depth image (handpose_evaluation.py:348-434):
+        prediction + gt skeletons over the normalized depth crop.
+        With ``niceColors`` the prediction uses the per-joint /
+        per-connection color tables and the gt their grayscale; without,
+        prediction blue (0,0,255 BGR) and gt red (255,0,0) as in the
+        reference.  Returns the image when ``name`` is None, else saves
+        it."""
+        import cv2
+
+        if showDepth:
+            img = np.asarray(dpt, np.float32).copy()
+            msk, msk2 = img > 0, img == 0
+            if msk.any():
+                lo, hi = img[msk].min(), img[msk].max()
+                img = (img - lo) / max(hi - lo, 1e-6) * 255.0
+            img[msk2] = 255.0  # display hack to hide ND depth
+        else:
+            img = np.ones_like(np.asarray(dpt, np.float32)) * 255.0
+        img = np.clip(img, 0.0, 255.0)
         img = cv2.cvtColor(img.astype("uint8"), cv2.COLOR_GRAY2BGR)
         if upsample != 1.0:
             img = cv2.resize(img, None, fx=upsample, fy=upsample,
                              interpolation=cv2.INTER_NEAREST)
 
-        def draw(pts, color):
-            pts = np.asarray(pts)[:, :2] * upsample
-            for c in self.jointConnections or []:
-                p0, p1 = pts[c[0]].astype(int), pts[c[1]].astype(int)
-                cv2.line(img, tuple(p0), tuple(p1), color, annoscale)
-            for p in pts.astype(int):
-                cv2.circle(img, tuple(p), 2 * annoscale, color, -1)
+        def _scale(pts):
+            return np.asarray(pts, np.float64)[:, :2] * upsample
 
+        # reference draw order + colors (handpose_evaluation.py:403-419):
+        # prediction first (BGR (0,0,255) / 'nice'), then ground truth
+        # ((255,0,0) / luma-gray when both shown with niceColors)
+        if showJoints and joint is not None:
+            self.plotJoints(img, _scale(joint), annoscale=annoscale,
+                            color="nice" if niceColors else (0, 0, 255))
         if show_gt and gtcrop is not None:
-            draw(gtcrop, (0, 0, 255))
-        if joint is not None:
-            draw(joint, (255, 0, 0))
+            gt_color = ("gray" if (showJoints and niceColors)
+                        else ("nice" if niceColors else (255, 0, 0)))
+            self.plotJoints(img, _scale(gtcrop), annoscale=annoscale,
+                            color=gt_color)
         if name is None:
             return img
         cv2.imwrite(name, img)
@@ -288,6 +348,21 @@ def _rgb01(bgr):
     """OpenCV BGR tuple -> matplotlib RGB in [0,1]."""
     b, g, r = bgr
     return (r / 255.0, g / 255.0, b / 255.0)
+
+
+def _rgb_to_gray(rgb):
+    """Luma grayscale of an RGB [0,1] triple (reference rgb_to_gray,
+    src/utils/helpers.py:136-143)."""
+    g = 0.21 * rgb[0] + 0.72 * rgb[1] + 0.07 * rgb[2]
+    return (g, g, g)
+
+
+def _to_bgr255(rgb):
+    """RGB [0,1] triple -> cv2 BGR int tuple.  (The reference passes
+    RGB*255 straight into cv2 and so swaps channels in saved PNGs; we
+    draw the intended colors — cosmetic deviation, docs/PARITY.md.)"""
+    r, g, b = (int(float(c) * 255.0) for c in rgb[:3])
+    return (b, g, r)
 
 
 def _skeleton_tables(color_idx, bones):

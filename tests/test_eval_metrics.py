@@ -118,3 +118,44 @@ def test_plot_result_3d_nice_colors_without_tables(tmp_path):
     import os
 
     assert os.path.isfile(tmp_path / "nofix.png")
+
+
+def test_plot_result_2d_nice_and_gray(tmp_path):
+    """2D annotated render (reference handpose_evaluation.py:348-486):
+    niceColors draws per-joint/per-connection table colors for the
+    prediction and luma-grayscale for the gt; default mode draws
+    prediction (0,0,255) and gt (255,0,0) BGR."""
+    rng = np.random.RandomState(5)
+    gt = rng.rand(14, 3) * 100 + 10
+    pred = gt + rng.randn(14, 3) * 3
+    hpe = NYUHandposeEvaluation(gt[None], pred[None])
+    dpt = np.zeros((128, 128), np.float32)
+    dpt[30:100, 30:100] = 700.0 + rng.rand(70, 70) * 100
+
+    img = hpe.plotResult(dpt, gt, pred, niceColors=False)
+    assert img.shape == (512, 512, 3)
+    # default mode: pure red and pure blue strokes present (BGR image)
+    assert (np.all(img == (0, 0, 255), axis=-1)).any()    # prediction
+    assert (np.all(img == (255, 0, 0), axis=-1)).any()    # ground truth
+
+    img2 = hpe.plotResult(dpt, gt, pred, niceColors=True)
+    # per-joint colors: strokes beyond red/blue/grayscale appear
+    colored = img2[(img2[..., 0] != img2[..., 1])
+                   | (img2[..., 1] != img2[..., 2])]
+    assert len(np.unique(colored.reshape(-1, 3), axis=0)) > 4
+    # saved variant
+    hpe.plotResult(dpt, gt, pred, name=str(tmp_path / "anno.png"),
+                   niceColors=True)
+    import os
+
+    assert os.path.getsize(tmp_path / "anno.png") > 1000
+
+
+def test_plot_result_2d_no_tables_fallback():
+    """plotResult with niceColors on a base evaluation (no color
+    tables) must fall back, not crash."""
+    gt = np.random.RandomState(0).rand(2, 36, 3) * 100
+    hpe = HandposeEvaluation(gt, gt + 1.0)
+    dpt = np.ones((128, 128), np.float32) * 700
+    img = hpe.plotResult(dpt, gt[0], gt[0] + 1.0, niceColors=True)
+    assert img.shape == (512, 512, 3)
