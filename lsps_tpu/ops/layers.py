@@ -304,7 +304,13 @@ def fused_in_lrelu_layer() -> Layer:
 def fused_in_layer() -> Layer:
     """InstanceNorm (no activation) as one Pallas op on TPU — single
     VMEM residency + saved-moment backward, identical math to
-    instance_norm_layer."""
+    instance_norm_layer.
+
+    Bench/experiment-only: no shipped model uses it.  As a standalone
+    second-IN replacement inside leaky_ins_res_block it measured 1.5x
+    slower end-to-end (forces an f32 xhat residual, breaks XLA's fusion
+    across the residual add — docs/BENCHMARKS.md round-2 notes); the
+    block keeps the XLA-composed norm."""
     from lsps_tpu.ops.pallas.norm_act import fused_instance_norm
 
     return Layer(lambda key: {},
@@ -316,11 +322,17 @@ def leaky_ins_res_block(n_in, n_out, dropout: float = 0.0) -> Layer:
     """LeakyINSResBlock (common_net.py:160-181): two 3x3 convs with
     InstanceNorm, LeakyReLU between, residual add.  The IN+LeakyReLU
     pair is fused (Pallas on TPU); param tree keeps a placeholder slot
-    so checkpoints stay layout-compatible with the unfused form.  The
-    block's second (activation-free) IN deliberately stays XLA-composed:
-    a Pallas kernel there measured 1.5x SLOWER end-to-end (it forces an
-    f32 xhat residual and breaks XLA's fusion across the residual add —
-    see docs/BENCHMARKS.md round-2 notes)."""
+    so checkpoints stay layout-compatible with the unfused form.
+
+    The block's second (activation-free) IN defaults to the XLA-composed
+    form: a norm-only Pallas kernel there measured 1.5x SLOWER (forced
+    f32 xhat residual + broken fusion across the residual add —
+    docs/BENCHMARKS.md round-2 notes).  ``LSPS_FUSED_IN_RES=1`` (or
+    ``norm_act.set_in_res_fused(True)``) instead routes the tail through
+    ``fused_instance_norm_residual`` — IN + residual add in ONE kernel,
+    saving (x, mean, rstd) rather than an f32 xhat — the round-3 retry
+    that moves the kernel boundary instead of fighting it.  Identical
+    math either way; param layout unchanged."""
     body = [
         conv2d(n_in, n_out, 3, 1, 1),
         fused_in_lrelu_layer(),
@@ -330,7 +342,21 @@ def leaky_ins_res_block(n_in, n_out, dropout: float = 0.0) -> Layer:
     ]
     if dropout > 0:
         body.append(dropout_layer(dropout))
-    return residual(sequential(*body))
+        return residual(sequential(*body))
+    seq = sequential(*body)
+
+    def apply(params, x, rng=None, train=False):
+        from lsps_tpu.ops.pallas import norm_act
+
+        if not norm_act.in_res_fused_enabled():
+            return x + seq.apply(params, x, rng=rng, train=train)
+        # none of conv/IN/act consume rng, so rng=None is value-identical
+        h = x
+        for lay, p in zip(body[:4], params[:4]):
+            h = lay.apply(p, h, rng=None, train=train)
+        return norm_act.fused_instance_norm_residual(h, x)
+
+    return Layer(seq.init, apply)
 
 
 def noop_layer() -> Layer:

@@ -211,3 +211,144 @@ def _in_vjp_bwd(res, g):
 
 
 fused_instance_norm.defvjp(_in_vjp_fwd, _in_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# block-level kernel: InstanceNorm + residual add (round-3 MFU attack)
+# ---------------------------------------------------------------------------
+# The round-2 attempt replaced ONLY the block's second IN and lost 1.5x:
+# saving an f32 xhat residual for the backward doubled the HBM traffic
+# and broke XLA's fusion across the residual add.  This kernel moves the
+# BOUNDARY instead: it computes IN(x) + res in one VMEM residency and
+# saves (x, mean, rstd) — x is the conv output in the compute dtype
+# (bf16 in mixed-precision mode, half the bytes of an f32 xhat) and the
+# backward recomputes xhat on the fly from the tiny per-channel moments.
+# dres is the cotangent unchanged (the residual add backward is
+# identity), so no extra pass materializes.
+
+_IN_RES_FUSED = None  # None = off (opt-in until measured faster on TPU)
+
+
+def set_in_res_fused(value) -> None:
+    """True/False force; None = default (off)."""
+    global _IN_RES_FUSED
+    _IN_RES_FUSED = value
+
+
+def in_res_fused_enabled() -> bool:
+    """Whether LeakyINSResBlock routes its tail through the fused
+    IN+residual op (set_in_res_fused / LSPS_FUSED_IN_RES=1).  The math
+    is identical either way (pinned by tests); this only moves the
+    XLA/Pallas boundary."""
+    if _IN_RES_FUSED is not None:
+        return bool(_IN_RES_FUSED)
+    import os
+
+    return os.environ.get("LSPS_FUSED_IN_RES", "0") == "1"
+
+
+def _in_res_fwd_impl(x, res):
+    b, h, w, c = x.shape
+    xr = x.reshape(b, h * w, c)
+    rr = res.reshape(b, h * w, c)
+    if pallas_enabled():
+        y, mean, rstd = _pallas_in_res_fwd(xr, rr)
+    else:
+        xf = xr.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=1, keepdims=True)
+        rstd = jax.lax.rsqrt(var + EPS)
+        xhat = (xf - mean) * rstd
+        y = (xhat + rr.astype(jnp.float32)).astype(res.dtype)
+    return y.reshape(res.shape), mean, rstd
+
+
+def _pallas_in_res_fwd(x, res):
+    from jax.experimental import pallas as pl
+
+    b, hw, c = x.shape
+    spec = pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0))
+    rspec = pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0))
+
+    def kernel(x_ref, res_ref, y_ref, mean_ref, rstd_ref):
+        xf = x_ref[0].astype(jnp.float32)
+        mean = jnp.mean(xf, axis=0, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=0, keepdims=True)
+        rstd = jax.lax.rsqrt(var + EPS)
+        xhat = (xf - mean) * rstd
+        y_ref[0] = (xhat + res_ref[0].astype(jnp.float32)).astype(
+            y_ref.dtype)
+        mean_ref[0] = mean
+        rstd_ref[0] = rstd
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[spec, spec],
+        out_specs=(spec, rspec, rspec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, hw, c), res.dtype),
+            jax.ShapeDtypeStruct((b, 1, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, c), jnp.float32),
+        ),
+        interpret=_INTERPRET,
+    )(x, res)
+
+
+def _pallas_in_res_bwd(g, x, mean, rstd):
+    from jax.experimental import pallas as pl
+
+    b, hw, c = g.shape
+    spec = pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0))
+    rspec = pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0))
+
+    def kernel(g_ref, x_ref, mean_ref, rstd_ref, dx_ref):
+        gf = g_ref[0].astype(jnp.float32)
+        xf = x_ref[0].astype(jnp.float32)
+        rstd = rstd_ref[0]
+        xhat = (xf - mean_ref[0]) * rstd  # recomputed, not saved
+        m1 = jnp.mean(gf, axis=0, keepdims=True)
+        m2 = jnp.mean(gf * xhat, axis=0, keepdims=True)
+        dx_ref[0] = (rstd * (gf - m1 - xhat * m2)).astype(dx_ref.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[spec, spec, rspec, rspec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b, hw, c), g.dtype),
+        interpret=_INTERPRET,
+    )(g, x, mean, rstd)
+
+
+@jax.custom_vjp
+def fused_instance_norm_residual(x, res):
+    """InstanceNorm(x) + res on NHWC — the tail of LeakyINSResBlock
+    (common_net.py:160-181: second conv's IN plus the residual add) as
+    one fused op."""
+    y, _, _ = _in_res_fwd_impl(x, res)
+    return y
+
+
+def _in_res_vjp_fwd(x, res):
+    y, mean, rstd = _in_res_fwd_impl(x, res)
+    return y, (x, mean, rstd)
+
+
+def _in_res_vjp_bwd(saved, g):
+    x, mean, rstd = saved
+    b, h, w, c = x.shape
+    gr = g.reshape(b, h * w, c)
+    if pallas_enabled():
+        dx = _pallas_in_res_bwd(gr, x.reshape(b, h * w, c), mean, rstd)
+    else:
+        gf = gr.astype(jnp.float32)
+        xf = x.reshape(b, h * w, c).astype(jnp.float32)
+        xhat = (xf - mean) * rstd
+        m1 = jnp.mean(gf, axis=1, keepdims=True)
+        m2 = jnp.mean(gf * xhat, axis=1, keepdims=True)
+        dx = (rstd * (gf - m1 - xhat * m2)).astype(gr.dtype)
+    return dx.reshape(x.shape), g
+
+
+fused_instance_norm_residual.defvjp(_in_res_vjp_fwd, _in_res_vjp_bwd)

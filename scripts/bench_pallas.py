@@ -64,6 +64,44 @@ def main(argv=None):
         run(norm_act.fused_instance_norm_leaky_relu, "pallas_fused")
         norm_act.set_pallas_enabled(None)
 
+    # block-level IN + residual add (round-3 kernel): composed vs fused,
+    # on the same shape, f32 and bf16
+    r = jnp.asarray(np.random.RandomState(1).randn(
+        opts.batch, opts.hw, opts.hw, opts.ch), jnp.float32)
+
+    def run2(fn, tag, xx, rr):
+        f = jax.jit(fn)
+        g = jax.jit(jax.grad(
+            lambda a, b: jnp.sum(fn(a, b).astype(jnp.float32) ** 2),
+            argnums=(0, 1)))
+        f(xx, rr).block_until_ready()
+        jax.block_until_ready(g(xx, rr))
+        t0 = time.perf_counter()
+        for _ in range(opts.iters):
+            out = f(xx, rr)
+        out.block_until_ready()
+        fwd = (time.perf_counter() - t0) / opts.iters * 1e6
+        t0 = time.perf_counter()
+        for _ in range(opts.iters):
+            out = g(xx, rr)
+        jax.block_until_ready(out)
+        bwd = (time.perf_counter() - t0) / opts.iters * 1e6
+        print(json.dumps({"metric": f"in_residual_{tag}",
+                          "fwd_us": round(fwd, 2),
+                          "fwd_bwd_us": round(bwd, 2)}))
+
+    def composed2(a, b):
+        return L.instance_norm(a) + b
+
+    for dtype, dtag in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
+        xx, rr = x.astype(dtype), r.astype(dtype)
+        run2(composed2, f"xla_composed_{dtag}", xx, rr)
+        if jax.default_backend() == "tpu":
+            norm_act.set_pallas_enabled(True)
+            run2(norm_act.fused_instance_norm_residual,
+                 f"pallas_fused_{dtag}", xx, rr)
+            norm_act.set_pallas_enabled(None)
+
 
 if __name__ == "__main__":
     main(sys.argv[1:])

@@ -117,3 +117,96 @@ def test_bf16_plain_in_f32_stats(rng, pallas_interpret):
     ref = L.instance_norm(jnp.asarray(xf))
     np.testing.assert_allclose(np.asarray(y, np.float32), np.asarray(ref),
                                rtol=0.05, atol=0.05)
+
+
+# --- block-level IN + residual add kernel (round-3 MFU attack) ----------
+
+def _in_res_ref(x, res):
+    return L.instance_norm(x) + res
+
+
+def test_in_res_forward_matches_composed(rng):
+    x = jnp.array(rng.randn(2, 8, 8, 16).astype(np.float32) * 3 + 1)
+    r = jnp.array(rng.randn(2, 8, 8, 16).astype(np.float32))
+    norm_act.set_pallas_enabled(False)
+    y = norm_act.fused_instance_norm_residual(x, r)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(_in_res_ref(x, r)),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_in_res_forward_pallas_interpret(rng, pallas_interpret):
+    x = jnp.array(rng.randn(2, 8, 8, 16).astype(np.float32) * 3 + 1)
+    r = jnp.array(rng.randn(2, 8, 8, 16).astype(np.float32))
+    y = norm_act.fused_instance_norm_residual(x, r)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(_in_res_ref(x, r)),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_in_res_vjp_matches_autodiff(rng):
+    x = jnp.array(rng.randn(2, 4, 4, 8).astype(np.float32) * 2)
+    r = jnp.array(rng.randn(2, 4, 4, 8).astype(np.float32))
+    g = jnp.array(rng.randn(2, 4, 4, 8).astype(np.float32))
+    norm_act.set_pallas_enabled(False)
+    _, vjp_fused = jax.vjp(norm_act.fused_instance_norm_residual, x, r)
+    _, vjp_ref = jax.vjp(_in_res_ref, x, r)
+    dx_f, dr_f = vjp_fused(g)
+    dx_r, dr_r = vjp_ref(g)
+    np.testing.assert_allclose(np.asarray(dx_f), np.asarray(dx_r),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dr_f), np.asarray(dr_r),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_in_res_vjp_pallas_interpret(rng, pallas_interpret):
+    x = jnp.array(rng.randn(1, 4, 4, 8).astype(np.float32) * 2)
+    r = jnp.array(rng.randn(1, 4, 4, 8).astype(np.float32))
+    g = jnp.array(rng.randn(1, 4, 4, 8).astype(np.float32))
+    _, vjp_fused = jax.vjp(norm_act.fused_instance_norm_residual, x, r)
+    dx_pallas, dr_pallas = (np.asarray(a) for a in vjp_fused(g))
+    norm_act.set_pallas_enabled(False)
+    _, vjp_ref = jax.vjp(_in_res_ref, x, r)
+    dx_r, dr_r = vjp_ref(g)
+    np.testing.assert_allclose(dx_pallas, np.asarray(dx_r),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(dr_pallas, np.asarray(dr_r),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_res_block_fused_route_matches_default(rng):
+    """leaky_ins_res_block with LSPS_FUSED_IN_RES routed tail == the
+    XLA-composed default, values AND gradients (the switch only moves
+    the kernel boundary)."""
+    block = L.leaky_ins_res_block(8, 8)
+    params = block.init(jax.random.PRNGKey(0))
+    x = jnp.array(rng.randn(2, 8, 8, 8).astype(np.float32))
+
+    def loss_default(p, x):
+        norm_act.set_in_res_fused(False)
+        return jnp.sum(block.apply(p, x) ** 2)
+
+    def loss_fused(p, x):
+        norm_act.set_in_res_fused(True)
+        return jnp.sum(block.apply(p, x) ** 2)
+
+    try:
+        y0 = block.apply(params, x)
+        norm_act.set_in_res_fused(True)
+        y1 = block.apply(params, x)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                                   rtol=1e-5, atol=1e-5)
+        g0 = jax.grad(loss_default)(params, x)
+        g1 = jax.grad(loss_fused)(params, x)
+        # BOTH conv biases feed an InstanceNorm, so their gradients are
+        # mathematically ZERO (a per-channel constant is removed by the
+        # mean) — each path returns pure reduction noise there; assert
+        # ~0 in each rather than comparing noise against noise
+        for g in (g0, g1):
+            np.testing.assert_allclose(np.asarray(g[0]["b"]), 0.0,
+                                       atol=1e-3)
+            np.testing.assert_allclose(np.asarray(g[3]["b"]), 0.0,
+                                       atol=1e-3)
+        for a, b in ((g0[0]["w"], g1[0]["w"]), (g0[3]["w"], g1[3]["w"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+    finally:
+        norm_act.set_in_res_fused(None)
