@@ -65,6 +65,61 @@ def _bench_train(jax, jnp, hyp_base, batch, compute_dtype, n_iter=30):
     return ms, imgs_s, mfu, flops
 
 
+def _bench_wall_cli_style(jax, jnp, hyp_base, batch, n_iter=25):
+    """Loader-INCLUSIVE wall ms/step at the bf16 batch-32 operating
+    point: a real synthetic dataset, the prefetching DataLoader in
+    fused-in-step augment mode (LSPS_AUGMENT=step semantics), host rng
+    fold, pretrain_update_raw — the same per-iteration work the CLI
+    loop does (cli/depth_train.py), minus logging cadences.  This is
+    the honest number next to the device-only jitted ceiling."""
+    from lsps_tpu.cli.common import host_fold_in
+    from lsps_tpu.data.loader import DataLoader, get_dataset
+    from lsps_tpu.train import LSPSTrainer
+    import lsps_tpu.data.synthetic  # noqa: F401 (registration)
+
+    hyp = dict(hyp_base)
+    hyp["compute_dtype"] = "bfloat16"
+    trainer = LSPSTrainer(hyp, donate=True)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+
+    spec = {"seed": 5, "class_name": "dataset_hand_synth", "root": "",
+            "subset": "train", "joint_subset": "NYU", "sample_poses": 0,
+            "augment": True, "docom": False, "n_frames": max(batch, 48),
+            "n_joints": 36}
+    ds_a, ds_b = get_dataset(spec), get_dataset(dict(spec, seed=6))
+    la = DataLoader(ds_a, batch, shuffle=True, seed=1, fast=True,
+                    fast_backend="step")
+    lb = DataLoader(ds_b, batch, shuffle=True, seed=2, fast=True,
+                    fast_backend="step")
+    assert la.raw and lb.raw, "step augment backend unavailable"
+
+    rng = jax.random.PRNGKey(3)
+    it = 0
+    t0 = None
+    timed = 0
+    warm = 3
+    while timed < n_iter:
+        for batch_a, batch_b in zip(iter(la), iter(lb)):
+            raw_a, lbl_a = batch_a[0], batch_a[1]
+            raw_b, lbl_b = batch_b[0], batch_b[1]
+            if lbl_a.shape[0] != batch or lbl_b.shape[0] != batch:
+                continue
+            rng = host_fold_in(rng, it)
+            state, m, _ = trainer.pretrain_update_raw(
+                state, raw_a, lbl_a, raw_b, lbl_b, rng)
+            it += 1
+            if it == warm:  # compile + stream settled
+                jax.block_until_ready(m["gen_total_loss"])
+                t0 = time.perf_counter()
+            elif it > warm:
+                timed += 1
+                if timed >= n_iter:
+                    break
+    jax.block_until_ready(m["gen_total_loss"])
+    ms = (time.perf_counter() - t0) / timed * 1e3
+    return ms, 2 * batch / (ms / 1e3)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -121,6 +176,22 @@ def main():
     ms, ms_pipelined = timed(est)
     ms_bf16, ms_bf16_pipe = timed(est_bf16)
 
+    # raw-stream path: CoM detection ON DEVICE too (predict_raw — the
+    # reference's host-side handdetector.detect made device-resident)
+    raw_ms = None
+    try:
+        cubes_b = jnp.asarray(cube[None])
+        out2 = est_bf16._raw_to_pose(est_bf16.params, frames, cubes_b)
+        jax.block_until_ready(out2)
+        t0 = time.perf_counter()
+        for _ in range(100):
+            out2 = est_bf16._raw_to_pose(est_bf16.params, frames, cubes_b)
+            jax.block_until_ready(out2)
+        raw_ms = (time.perf_counter() - t0) / 100 * 1e3
+    except Exception as e:
+        print(f"raw-path bench skipped: {type(e).__name__}: {e}",
+              file=__import__("sys").stderr)
+
     baseline_ms = 1.0  # north-star target (BASELINE.json)
     best = min(ms, ms_bf16)
     out = {
@@ -132,6 +203,8 @@ def main():
         "bf16_ms": round(ms_bf16, 4),
         "pipelined_ms_per_frame": round(min(ms_pipelined, ms_bf16_pipe), 4),
     }
+    if raw_ms is not None:
+        out["raw_detect_to_pose_ms"] = round(raw_ms, 4)
 
     # training throughput + MFU (full-size NYU pretrain, fused step)
     try:
@@ -150,6 +223,15 @@ def main():
         })
     except Exception as e:  # serving metric must still print
         out["train_bench_error"] = f"{type(e).__name__}: {e}"
+
+    # loader-inclusive wall step (fused-in-step augmentation): the CLI
+    # reality next to the device-only ceiling above
+    try:
+        wall_ms, wall_imgs = _bench_wall_cli_style(jax, jnp, hyp, 32)
+        out["train_b32_bf16_wall_ms_per_step"] = round(wall_ms, 3)
+        out["train_b32_bf16_wall_images_per_s"] = round(wall_imgs, 1)
+    except Exception as e:
+        out["wall_bench_error"] = f"{type(e).__name__}: {e}"
 
     print(json.dumps(out))
 

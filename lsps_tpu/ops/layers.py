@@ -331,7 +331,11 @@ def leaky_ins_res_block(n_in, n_out, dropout: float = 0.0) -> Layer:
     ``norm_act.set_in_res_fused(True)``) instead routes the tail through
     ``fused_instance_norm_residual`` — IN + residual add in ONE kernel,
     saving (x, mean, rstd) rather than an f32 xhat — the round-3 retry
-    that moves the kernel boundary instead of fighting it.  Identical
+    that moves the kernel boundary instead of fighting it.  Measured:
+    ALSO loses (113.6 vs 106.9 ms at bf16 batch 32 — the custom-VJP
+    boundary blocks conv-epilogue fusion on both sides; see
+    docs/BENCHMARKS.md round-3 notes), so the default stays
+    XLA-composed and the kernel is a library/bench op.  Identical
     math either way; param layout unchanged."""
     body = [
         conv2d(n_in, n_out, 3, 1, 1),

@@ -24,6 +24,11 @@ def main(argv=None):
     p.add_argument("--frames", type=int, default=32)
     p.add_argument("--out", type=str, default="./outputs/realtime_demo.avi")
     p.add_argument("--ch", type=int, default=64)
+    p.add_argument("--device-detect", action="store_true",
+                   help="run CoM detection ON DEVICE inside the fused "
+                        "program (PoseEstimator.predict_raw) instead of "
+                        "the host-side detector — the whole frame->"
+                        "joints path is then one XLA dispatch")
     opts = p.parse_args(argv)
 
     import cv2
@@ -63,17 +68,28 @@ def main(argv=None):
                           750 + 60 * np.sin(t / 5.0)], np.float32)
         dpt, _ = render_hand_depth(cam, com3d, 36, gen, pose_basis=basis)
 
-        t0 = time.perf_counter()
-        hd = HandDetector(dpt, cam.fx, cam.fy)
-        if com is None:
-            com, _ = hd.detect(size=tuple(cube))  # cold start
+        if opts.device_detect:
+            # detect + crop + regress + decode: ONE device program
+            t0 = time.perf_counter()
+            joints, coms_out = est.predict_raw(dpt[None], cube[None],
+                                               return_coms=True)
+            joints, com = joints[0], np.asarray(coms_out[0])
+            infer_ms.append((time.perf_counter() - t0) * 1e3)
+            detect_ms.append(0.0)  # on-device, included in infer_ms
+            hd = HandDetector(dpt, cam.fx, cam.fy)  # viz crop only
         else:
-            com = hd.refine_com_iterative(com, 3, tuple(cube))  # track
-        detect_ms.append((time.perf_counter() - t0) * 1e3)
+            t0 = time.perf_counter()
+            hd = HandDetector(dpt, cam.fx, cam.fy)
+            if com is None:
+                com, _ = hd.detect(size=tuple(cube))  # cold start
+            else:
+                com = hd.refine_com_iterative(com, 3,
+                                              tuple(cube))  # track
+            detect_ms.append((time.perf_counter() - t0) * 1e3)
 
-        t0 = time.perf_counter()
-        joints = est.predict_frame(dpt, com, cube)
-        infer_ms.append((time.perf_counter() - t0) * 1e3)
+            t0 = time.perf_counter()
+            joints = est.predict_frame(dpt, com, cube)
+            infer_ms.append((time.perf_counter() - t0) * 1e3)
 
         # render the crop with the predicted skeleton
         crop, M, com = hd.crop_area_3d(com=com, size=tuple(cube))
@@ -90,6 +106,7 @@ def main(argv=None):
     print(json.dumps({
         "metric": "realtime_demo",
         "frames": opts.frames,
+        "device_detect": bool(opts.device_detect),
         "detect_ms_median": round(float(np.median(detect_ms)), 2),
         "infer_ms_median": round(float(np.median(infer_ms)), 3),
         "out": opts.out,
