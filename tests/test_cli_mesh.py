@@ -113,6 +113,24 @@ def test_pose_train_mesh_cli_matches_single(tmp_path):
                                    rtol=2e-3, atol=1e-4)
 
 
+def test_depth_pretrain_mesh_plus_step_augment(tmp_path, monkeypatch):
+    """--mesh-data combined with LSPS_AUGMENT=step: warp params shard
+    over the data axis and the augment chain runs inside the pjit'd
+    program."""
+    from lsps_tpu.cli import depth_train
+
+    monkeypatch.setenv("LSPS_AUGMENT", "step")
+    cfg = _make_cfg(tmp_path, "meshstep")
+    log = str(tmp_path / "logs_meshstep")
+    depth_train.main(["--config", cfg, "--mode", "pretrain",
+                      "--log", log, "--max-iterations", "2",
+                      "--batch-size", "8", "--mesh-data", "8"])
+    recs = _metrics(log, cfg)
+    assert len(recs) == 2
+    assert all(np.isfinite(r["gen_total_loss"]) for r in recs)
+    assert all(np.isfinite(r["dis_loss"]) for r in recs)
+
+
 def test_mesh_indivisible_batch_raises(tmp_path):
     """A global batch the mesh can't split must fail up front with a
     clear error, not a GSPMD layout crash mid-loop."""
