@@ -65,14 +65,9 @@ def _bench_train(jax, jnp, hyp_base, batch, compute_dtype, n_iter=30):
     return ms, imgs_s, mfu, flops
 
 
-def _bench_wall_cli_style(jax, jnp, hyp_base, batch, n_iter=25):
-    """Loader-INCLUSIVE wall ms/step at the bf16 batch-32 operating
-    point: a real synthetic dataset, the prefetching DataLoader in
-    fused-in-step augment mode (LSPS_AUGMENT=step semantics), host rng
-    fold, pretrain_update_raw — the same per-iteration work the CLI
-    loop does (cli/depth_train.py), minus logging cadences.  This is
-    the honest number next to the device-only jitted ceiling."""
-    from lsps_tpu.cli.common import host_fold_in
+def _make_wall_setup(jax, hyp_base, batch):
+    """Trainer + prefetching raw-mode loaders over a real synthetic
+    dataset — the CLI's actual per-iteration surroundings."""
     from lsps_tpu.data.loader import DataLoader, get_dataset
     from lsps_tpu.train import LSPSTrainer
     import lsps_tpu.data.synthetic  # noqa: F401 (registration)
@@ -92,6 +87,19 @@ def _bench_wall_cli_style(jax, jnp, hyp_base, batch, n_iter=25):
     lb = DataLoader(ds_b, batch, shuffle=True, seed=2, fast=True,
                     fast_backend="step")
     assert la.raw and lb.raw, "step augment backend unavailable"
+    return trainer, state, la, lb
+
+
+def _bench_wall_cli_style(jax, jnp, hyp_base, batch, n_iter=25):
+    """Loader-INCLUSIVE wall ms/step at the bf16 batch-32 operating
+    point: a real synthetic dataset, the prefetching DataLoader in
+    fused-in-step augment mode (LSPS_AUGMENT=step semantics), host rng
+    fold, pretrain_update_raw — the same per-iteration work the CLI
+    loop does (cli/depth_train.py), minus logging cadences.  This is
+    the honest number next to the device-only jitted ceiling."""
+    from lsps_tpu.cli.common import host_fold_in
+
+    trainer, state, la, lb = _make_wall_setup(jax, hyp_base, batch)
 
     rng = jax.random.PRNGKey(3)
     it = 0
@@ -117,6 +125,54 @@ def _bench_wall_cli_style(jax, jnp, hyp_base, batch, n_iter=25):
                     break
     jax.block_until_ready(m["gen_total_loss"])
     ms = (time.perf_counter() - t0) / timed * 1e3
+    return ms, 2 * batch / (ms / 1e3)
+
+
+def _bench_wall_scan(jax, jnp, hyp_base, batch, k=8, n_chunks=5):
+    """Wall ms/step with multi-step dispatch (--steps-per-call K): the
+    loader pre-stages K raw batches, trainer.pretrain_scan runs them as
+    ONE XLA program (lax.scan), amortizing the per-dispatch host/H2D
+    overhead K-fold (cli/depth_train.py chunked loop)."""
+    from lsps_tpu.cli.common import fold_chain
+
+    trainer, state, la, lb = _make_wall_setup(jax, hyp_base, batch)
+
+    rng = np.asarray(jax.random.PRNGKey(3))
+    it = 0
+    chunks = 0
+    warm = 2
+    pending = []
+    t0 = None
+    m = None
+    while chunks < warm + n_chunks:
+        for batch_a, batch_b in zip(iter(la), iter(lb)):
+            raw_a, lbl_a = batch_a[0], batch_a[1]
+            raw_b, lbl_b = batch_b[0], batch_b[1]
+            if lbl_a.shape[0] != batch or lbl_b.shape[0] != batch:
+                continue
+            pending.append((raw_a, lbl_a, raw_b, lbl_b))
+            if len(pending) < k:
+                continue
+            xs_a = tuple(np.stack([p[0][i] for p in pending])
+                         for i in range(len(pending[0][0])))
+            xs_b = tuple(np.stack([p[2][i] for p in pending])
+                         for i in range(len(pending[0][2])))
+            ls_a = np.stack([p[1] for p in pending])
+            ls_b = np.stack([p[3] for p in pending])
+            pending = []
+            keys, rng = fold_chain(rng, it, k)
+            state, m, _ = trainer.pretrain_scan(state, xs_a, ls_a,
+                                                xs_b, ls_b, keys,
+                                                raw=True)
+            it += k
+            chunks += 1
+            if chunks == warm:  # compile + stream settled
+                jax.block_until_ready(m["gen_total_loss"])
+                t0 = time.perf_counter()
+            if chunks >= warm + n_chunks:
+                break
+    jax.block_until_ready(m["gen_total_loss"])
+    ms = (time.perf_counter() - t0) / ((chunks - warm) * k) * 1e3
     return ms, 2 * batch / (ms / 1e3)
 
 
@@ -232,6 +288,15 @@ def main():
         out["train_b32_bf16_wall_images_per_s"] = round(wall_imgs, 1)
     except Exception as e:
         out["wall_bench_error"] = f"{type(e).__name__}: {e}"
+
+    # multi-step dispatch (--steps-per-call 8): K steps per XLA program
+    # amortize the residual per-dispatch overhead of the row above
+    try:
+        scan_ms, scan_imgs = _bench_wall_scan(jax, jnp, hyp, 32, k=8)
+        out["train_b32_bf16_wall_scan8_ms_per_step"] = round(scan_ms, 3)
+        out["train_b32_bf16_wall_scan8_images_per_s"] = round(scan_imgs, 1)
+    except Exception as e:
+        out["scan_bench_error"] = f"{type(e).__name__}: {e}"
 
     print(json.dumps(out))
 

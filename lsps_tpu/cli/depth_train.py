@@ -149,10 +149,53 @@ def main(argv=None):
         print(f"data-parallel over {mesh_runner.n_data} devices "
               f"(global batch {batch_size * 2} images/step)")
 
+    # multi-step dispatch (--steps-per-call K): scan K pre-staged
+    # batches per XLA program (trainer.pretrain_scan/post_scan) to
+    # amortize per-dispatch host/H2D overhead K-fold.  The scan carries
+    # the last step's outputs, so image/snapshot cadences may land
+    # exactly on a chunk boundary; near a boundary that K doesn't
+    # divide, the loop falls back to single steps until re-aligned.
+    steps_per_call = max(1, opts.steps_per_call)
+    if steps_per_call > 1 and jax.process_count() > 1:
+        print("--steps-per-call > 1 is single-process only; using 1 "
+              "(per-host shard staging for scan chunks is not wired)")
+        steps_per_call = 1
+    scan_fn = None
+    if steps_per_call > 1 and mesh_runner is not None:
+        # mesh + scan: stacked (K, B, ...) batches shard on axis 1
+        # (batch) over ``data``; the K steps scan sequentially on every
+        # device with one gradient all-reduce per scanned step
+        if not estimate:
+            def _prescan(s, xa, la, xb, lb, keys,
+                         _f=trainer._pretrain_scan, _raw=raw_mode):
+                return _f(s, xa, la, xb, lb, keys, raw=_raw)
+
+            scan_fn = mesh_runner.wrap(_prescan, 4, batch_axis=1)
+        else:
+            def _postscan(s, xa, la, xb, lb, keys,
+                          _f=trainer._post_scan, _raw=raw_mode,
+                          _m=mode_idx):
+                return _f(s, xa, la, xb, lb, keys, raw=_raw, mode=_m)
+
+            scan_fn = mesh_runner.wrap(_postscan, 4, batch_axis=1)
+    chunk_cadences = (config.image_display_iterations,
+                      config.image_save_iterations,
+                      config.snapshot_save_iterations)
+
+    def stack_inputs(items):
+        """Stack per-step inputs to a leading K axis (component-wise for
+        the raw-mode warp-param 7-tuples)."""
+        if isinstance(items[0], tuple):
+            return tuple(np.stack([it[i] for it in items])
+                         for i in range(len(items[0])))
+        return np.stack(items)
+
     print(f"using {frac:.2f} percent of the labeled real data")
     best_err, best_acc = 100.0, 0.0
     rng = jax.random.PRNGKey(opts.seed + 13)
     start = time.time()
+    pending = []
+    n_plan = 0
     with profile_trace(opts.profile_dir):
         for ep in range(MAX_EPOCHS):
             for batch_a, batch_b in zip(iter(loader_a), iter(loader_b)):
@@ -161,105 +204,166 @@ def main(argv=None):
                 if (labels_a.shape[0] != batch_size
                         or labels_b.shape[0] != batch_size):
                     continue
-                if raw_mode:
-                    # in_* are 7-tuples of warp params (all leading B)
-                    if mesh_runner is not None:
-                        in_a = mesh_runner.place(*in_a)
-                        in_b = mesh_runner.place(*in_b)
-                        labels_a, labels_b = mesh_runner.place(labels_a,
-                                                               labels_b)
-                else:
+                if not raw_mode:
                     # NCHW (1,H,W) sample layout -> NHWC device layout
                     in_a = np.transpose(in_a, (0, 2, 3, 1))
                     in_b = np.transpose(in_b, (0, 2, 3, 1))
+
+                host_mets = mets = None
+                scanned = False
+                if steps_per_call > 1:
+                    if not pending:
+                        n_plan = C.chunk_len(iterations, steps_per_call,
+                                             chunk_cadences,
+                                             max_iterations)
+                    if n_plan == steps_per_call:
+                        pending.append((in_a, labels_a, in_b, labels_b))
+                        if len(pending) < n_plan:
+                            continue
+                        xs_a = stack_inputs([p[0] for p in pending])
+                        xs_b = stack_inputs([p[2] for p in pending])
+                        ls_a = np.stack([p[1] for p in pending])
+                        ls_b = np.stack([p[3] for p in pending])
+                        keys, rng = C.fold_chain(rng, iterations, n_plan)
+                        if scan_fn is not None:
+                            state, mets, outs = scan_fn(
+                                state, xs_a, ls_a, xs_b, ls_b, keys)
+                        elif not estimate:
+                            state, mets, outs = trainer.pretrain_scan(
+                                state, xs_a, ls_a, xs_b, ls_b, keys,
+                                raw=raw_mode)
+                        else:
+                            state, mets, outs = trainer.post_scan(
+                                state, xs_a, ls_a, xs_b, ls_b, keys,
+                                raw=raw_mode, mode=mode_idx)
+                        if raw_mode:
+                            # last step's augmented images (viz strip)
+                            outs, images_a, images_b = outs
+                        else:
+                            images_a = pending[-1][0]
+                            images_b = pending[-1][2]
+                        pending = []
+                        n_done = n_plan
+                        scanned = True
+
+                if not scanned:
+                    n_done = 1
+                    if raw_mode:
+                        # in_* are 7-tuples of warp params (leading B)
+                        if mesh_runner is not None:
+                            in_a = mesh_runner.place(*in_a)
+                            in_b = mesh_runner.place(*in_b)
+                            labels_a, labels_b = mesh_runner.place(
+                                labels_a, labels_b)
+                    else:
+                        if mesh_runner is not None:
+                            in_a, labels_a, in_b, labels_b = \
+                                mesh_runner.place(in_a, labels_a, in_b,
+                                                  labels_b)
+                        else:
+                            in_a = jnp.asarray(in_a)
+                            in_b = jnp.asarray(in_b)
+                            labels_a = jnp.asarray(labels_a)
+                            labels_b = jnp.asarray(labels_b)
+
+                    rng = C.host_fold_in(rng, iterations)
                     if mesh_runner is not None:
-                        in_a, labels_a, in_b, labels_b = \
-                            mesh_runner.place(in_a, labels_a, in_b,
-                                              labels_b)
+                        state, metrics, outs = step_fn(
+                            state, in_a, labels_a, in_b, labels_b, rng)
+                    elif raw_mode and not estimate:
+                        state, metrics, outs = trainer.pretrain_update_raw(
+                            state, in_a, labels_a, in_b, labels_b, rng)
+                    elif raw_mode:
+                        state, metrics, outs = trainer.post_update_raw(
+                            state, in_a, labels_a, in_b, labels_b, rng,
+                            mode=mode_idx)
+                    elif not estimate:
+                        # one fused XLA program per iteration (dis then
+                        # gen); the reference dispatches two
+                        # (depth_train.py:153-161)
+                        state, metrics, outs = trainer.pretrain_update(
+                            state, in_a, labels_a, in_b, labels_b, rng)
                     else:
-                        in_a = jnp.asarray(in_a)
-                        in_b = jnp.asarray(in_b)
-                        labels_a = jnp.asarray(labels_a)
-                        labels_b = jnp.asarray(labels_b)
+                        state, metrics, outs = trainer.post_update(
+                            state, in_a, labels_a, in_b, labels_b, rng,
+                            mode=mode_idx)
+                    if raw_mode:
+                        # raw updates also return the augmented images
+                        # (needed for the viz strip on cadences)
+                        outs, images_a, images_b = outs
+                    else:
+                        images_a, images_b = in_a, in_b
 
-                rng = C.host_fold_in(rng, iterations)
-                if mesh_runner is not None:
-                    state, metrics, outs = step_fn(
-                        state, in_a, labels_a, in_b, labels_b, rng)
-                elif raw_mode and not estimate:
-                    state, metrics, outs = trainer.pretrain_update_raw(
-                        state, in_a, labels_a, in_b, labels_b, rng)
-                elif raw_mode:
-                    state, metrics, outs = trainer.post_update_raw(
-                        state, in_a, labels_a, in_b, labels_b, rng,
-                        mode=mode_idx)
-                elif not estimate:
-                    # one fused XLA program per iteration (dis then gen);
-                    # the reference dispatches two (depth_train.py:153-161)
-                    state, metrics, outs = trainer.pretrain_update(
-                        state, in_a, labels_a, in_b, labels_b, rng)
-                else:
-                    state, metrics, outs = trainer.post_update(
-                        state, in_a, labels_a, in_b, labels_b, rng,
-                        mode=mode_idx)
-                if raw_mode:
-                    # raw updates also return the augmented images
-                    # (needed for the viz strip on cadences)
-                    outs, images_a, images_b = outs
-                else:
-                    images_a, images_b = in_a, in_b
-                # the 10-panel strip is only consumed on the image
-                # cadences — assembling it is an extra XLA dispatch, so
-                # skip it on ordinary steps (host dispatch dominates
-                # small-batch step time on this platform)
-                if ((iterations + 1) % config.image_display_iterations == 0
-                        or (iterations + 1) % config.image_save_iterations
-                        == 0):
-                    assembled = trainer.assemble_outputs(images_a, images_b,
-                                                         outs)
-                else:
-                    assembled = None
+                for j in range(n_done):
+                    # the 10-panel strip is only consumed on the image
+                    # cadences — assembling it is an extra XLA dispatch,
+                    # so skip it on ordinary steps (host dispatch
+                    # dominates small-batch step time on this platform).
+                    # In a scanned chunk an image cadence can only land
+                    # on the LAST step (chunk_len), where images/outs
+                    # hold that step's values.
+                    if ((iterations + 1) % config.image_display_iterations
+                            == 0
+                            or (iterations + 1)
+                            % config.image_save_iterations == 0):
+                        assembled = trainer.assemble_outputs(
+                            images_a, images_b, outs)
+                    else:
+                        assembled = None
 
-                if (iterations + 1) % config.display == 0:
-                    write_loss(iterations, max_iterations, metrics, writer,
-                               time.time() - start)
-                    start = time.time()
+                    if (iterations + 1) % config.display == 0:
+                        if mets is not None:
+                            if host_mets is None:
+                                host_mets = jax.device_get(mets)
+                            step_metrics = {k: v[j]
+                                            for k, v in host_mets.items()}
+                        else:
+                            step_metrics = metrics
+                        write_loss(iterations, max_iterations,
+                                   step_metrics, writer,
+                                   time.time() - start)
+                        start = time.time()
 
-                if (iterations + 1) % config.image_display_iterations == 0:
-                    viz.save_image_strip(assembled,
-                                         os.path.join(image_dir, "gen.jpg"))
-
-                if (iterations + 1) % config.image_save_iterations == 0:
-                    if not estimate:
+                    if (iterations + 1) % config.image_display_iterations \
+                            == 0:
                         viz.save_image_strip(
-                            assembled,
-                            os.path.join(image_dir,
-                                         f"gen_{iterations + 1:08d}.jpg"))
-                        write_html(os.path.join(snap_dir, "index.html"),
-                                   iterations + 1,
-                                   config.image_save_iterations, image_dir)
-                    else:
-                        err, acc = evaluate_estimation(
-                            trainer, state, test_loader, di_b, Evaluation,
-                            color_idx, bones, image_dir, mode_idx,
-                            "nyu" in opts.config, mesh_runner=mesh_runner)
-                        best_err = min(best_err, err)
-                        best_acc = max(best_acc, acc)
-                        print(f"------------ Mean err: {err:.4f} "
-                              f"({best_err:.4f}) mm, Max over 40mm: "
-                              f"{acc:.2f} ({best_acc:.2f}) %")
+                            assembled, os.path.join(image_dir, "gen.jpg"))
 
-                if (iterations + 1) % config.snapshot_save_iterations == 0:
-                    prefix = (config.snapshot_prefix + "_est" if estimate
-                              else config.snapshot_prefix)
-                    trainer.save(state, prefix, iterations)
-                    if orbax_store is not None:
-                        orbax_store.save(state, iterations + 1)
+                    if (iterations + 1) % config.image_save_iterations == 0:
+                        if not estimate:
+                            viz.save_image_strip(
+                                assembled,
+                                os.path.join(
+                                    image_dir,
+                                    f"gen_{iterations + 1:08d}.jpg"))
+                            write_html(os.path.join(snap_dir, "index.html"),
+                                       iterations + 1,
+                                       config.image_save_iterations,
+                                       image_dir)
+                        else:
+                            err, acc = evaluate_estimation(
+                                trainer, state, test_loader, di_b,
+                                Evaluation, color_idx, bones, image_dir,
+                                mode_idx, "nyu" in opts.config,
+                                mesh_runner=mesh_runner)
+                            best_err = min(best_err, err)
+                            best_acc = max(best_acc, acc)
+                            print(f"------------ Mean err: {err:.4f} "
+                                  f"({best_err:.4f}) mm, Max over 40mm: "
+                                  f"{acc:.2f} ({best_acc:.2f}) %")
 
-                iterations += 1
-                if iterations >= max_iterations:
-                    writer.close()
-                    return
+                    if (iterations + 1) % config.snapshot_save_iterations \
+                            == 0:
+                        prefix = (config.snapshot_prefix + "_est"
+                                  if estimate else config.snapshot_prefix)
+                        trainer.save(state, prefix, iterations)
+                        if orbax_store is not None:
+                            orbax_store.save(state, iterations + 1)
+
+                    iterations += 1
+                    if iterations >= max_iterations:
+                        writer.close()
+                        return
 
 
 def evaluate_estimation(trainer, state, test_loader, di_b, Evaluation,

@@ -85,9 +85,29 @@ def main(argv=None):
         vae_step = mesh_runner.wrap(trainer._vae_update, 1)
         print(f"data-parallel over {mesh_runner.n_data} devices")
 
+    # multi-step dispatch (--steps-per-call K): the pose-VAE step is a
+    # tiny MLP, so per-dispatch host overhead dominates wall time on a
+    # tunneled host; scanning K steps per program amortizes it K-fold
+    # with the identical rng chain (trainer.vae_scan)
+    steps_per_call = max(1, opts.steps_per_call)
+    if steps_per_call > 1 and jax.process_count() > 1:
+        print("--steps-per-call > 1 is single-process only; using 1 "
+              "(per-host shard staging for scan chunks is not wired)")
+        steps_per_call = 1
+    vae_scan_fn = None
+    if steps_per_call > 1 and mesh_runner is not None:
+        # mesh + scan: (K, B, D) label stacks shard on axis 1 (batch)
+        vae_scan_fn = mesh_runner.wrap(trainer._vae_scan, 1, batch_axis=1)
+    # chunks may END on (never straddle) the eval/snapshot cadences;
+    # display writes slice the stacked per-step metrics
+    state_cadences = (10 * config.image_save_iterations,
+                      4 * config.snapshot_save_iterations)
+
     print(f"using {frac:.2f} percent of the labeled real data")
     rngs = jax.random.split(jax.random.PRNGKey(opts.seed + 7), 2)[0]
     start = time.time()
+    pending = []
+    n_plan = 0
     with profile_trace(opts.profile_dir):
         for ep in range(MAX_EPOCHS):
             for labels_a, labels_b in zip(iter(loader_a), iter(loader_b)):
@@ -98,33 +118,73 @@ def main(argv=None):
                 if frac > 0.0:
                     labels = np.concatenate([labels_a, labels_b], 0)
 
-                rngs = C.host_fold_in(rngs, iterations)
-                if mesh_runner is not None:
-                    state, metrics, _ = vae_step(
-                        state, mesh_runner.place(labels), rngs)
+                host_mets = mets = None
+                if steps_per_call > 1:
+                    if not pending:
+                        n_plan = C.chunk_len(iterations, steps_per_call,
+                                             state_cadences,
+                                             max_iterations)
+                    if n_plan == steps_per_call:
+                        pending.append(labels)
+                        if len(pending) < n_plan:
+                            continue
+                        keys, rngs = C.fold_chain(rngs, iterations, n_plan)
+                        if vae_scan_fn is not None:
+                            state, mets, _ = vae_scan_fn(
+                                state, np.stack(pending), keys)
+                        else:
+                            state, mets, _ = trainer.vae_scan(
+                                state, np.stack(pending), keys)
+                        pending = []
+                        n_done = n_plan
+                    else:
+                        # within K steps of a cadence boundary: single
+                        # steps (already compiled) until re-aligned
+                        rngs = C.host_fold_in(rngs, iterations)
+                        if mesh_runner is not None:
+                            state, metrics, _ = vae_step(
+                                state, mesh_runner.place(labels), rngs)
+                        else:
+                            state, metrics, _ = trainer.vae_update(
+                                state, jnp.asarray(labels), rngs)
+                        n_done = 1
                 else:
-                    state, metrics, _ = trainer.vae_update(
-                        state, jnp.asarray(labels), rngs)
+                    rngs = C.host_fold_in(rngs, iterations)
+                    if mesh_runner is not None:
+                        state, metrics, _ = vae_step(
+                            state, mesh_runner.place(labels), rngs)
+                    else:
+                        state, metrics, _ = trainer.vae_update(
+                            state, jnp.asarray(labels), rngs)
+                    n_done = 1
 
-                if (iterations + 1) % config.display == 0:
-                    write_loss(iterations, max_iterations, metrics, writer,
-                               time.time() - start)
-                    start = time.time()
+                for j in range(n_done):
+                    if (iterations + 1) % config.display == 0:
+                        if mets is not None:
+                            if host_mets is None:
+                                host_mets = jax.device_get(mets)
+                            metrics = {k: v[j]
+                                       for k, v in host_mets.items()}
+                        write_loss(iterations, max_iterations, metrics,
+                                   writer, time.time() - start)
+                        start = time.time()
 
-                if (iterations + 1) % (10 * config.image_save_iterations) \
-                        == 0:
-                    _evaluate(trainer, state, test_loader, di_b, Evaluation,
-                              color_idx, bones, image_dir)
+                    if (iterations + 1) % (10
+                                           * config.image_save_iterations) \
+                            == 0:
+                        _evaluate(trainer, state, test_loader, di_b,
+                                  Evaluation, color_idx, bones, image_dir)
 
-                if (iterations + 1) % (4 * config.snapshot_save_iterations) \
-                        == 0:
-                    trainer.save_vae(state, config.snapshot_prefix,
-                                     iterations, 2 + frac)
+                    if (iterations + 1) % (4
+                                           * config.snapshot_save_iterations
+                                           ) == 0:
+                        trainer.save_vae(state, config.snapshot_prefix,
+                                         iterations, 2 + frac)
 
-                iterations += 1
-                if iterations >= max_iterations:
-                    writer.close()
-                    return
+                    iterations += 1
+                    if iterations >= max_iterations:
+                        writer.close()
+                        return
 
 
 def _evaluate(trainer, state, test_loader, di_b, Evaluation, color_idx,

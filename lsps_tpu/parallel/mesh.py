@@ -57,15 +57,20 @@ def shard_state(mesh: Mesh, state):
 
 def pjit_update(update_fn, mesh: Mesh, n_batch_args: int,
                 static_argnames: Sequence[str] = (),
-                donate_state: bool = True):
+                donate_state: bool = True, batch_axis: int = 0):
     """jit an update ``(state, *batch, rng, **static) -> (state, ...)``
     with batch args sharded on ``data`` and everything else replicated.
 
     XLA/GSPMD inserts the gradient all-reduce over ICI; parameters stay
     replicated so each step is one compiled program.
+
+    ``batch_axis=1`` shards the SECOND axis of each batch arg instead —
+    the layout of the multi-step scan updates (``trainer.*_scan``),
+    whose inputs are stacked to ``(K, B, ...)`` with K steps scanned
+    sequentially on every device and B sharded over ``data``.
     """
     rep = replicated(mesh)
-    bsh = batch_sharding(mesh)
+    bsh = NamedSharding(mesh, P(*([None] * batch_axis + ["data"])))
     in_shardings = (rep,) + (bsh,) * n_batch_args + (rep,)
     return jax.jit(update_fn, in_shardings=in_shardings,
                    static_argnames=tuple(static_argnames),

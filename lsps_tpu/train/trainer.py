@@ -186,6 +186,14 @@ class LSPSTrainer:
         self.post_update_raw = jax.jit(self._post_update_raw,
                                        donate_argnums=dn,
                                        static_argnames=("mode",))
+        # multi-step scan variants: K steps per dispatch (see the
+        # _scan_chunk section below)
+        self.vae_scan = jax.jit(self._vae_scan, donate_argnums=dn)
+        self.pretrain_scan = jax.jit(self._pretrain_scan,
+                                     donate_argnums=dn,
+                                     static_argnames=("raw", "feat_mat"))
+        self.post_scan = jax.jit(self._post_scan, donate_argnums=dn,
+                                 static_argnames=("raw", "mode"))
 
     # ------------------------------------------------------------------
     def init_state(self, key) -> Dict[str, Pytree]:
@@ -480,6 +488,67 @@ class LSPSTrainer:
         state, met, outs = self._post_update(
             state, images_a, labels_a, images_b, labels_b, rng, mode=mode)
         return state, met, (outs, images_a, images_b)
+
+    # ------------------------------------------------------------------
+    # multi-step scan variants: K update steps in ONE XLA program.
+    # On the tunneled single-core platform every dispatch costs ~10 ms
+    # of host + H2D overhead on top of the jitted step (docs/
+    # BENCHMARKS.md round-3 wall-gap table); ``lax.scan`` over K
+    # pre-staged batches amortizes that K-fold.  Numerics are identical
+    # to K single-step calls: the CLI pre-folds the per-step rng chain
+    # on the host (the same ``fold_in(key, it)`` chain the single-step
+    # loop uses) and ships the K keys as scan inputs.  The LAST step's
+    # network outputs ride the scan carry so an image cadence may land
+    # exactly on a chunk boundary (reference loop being batched:
+    # depth_train.py:140-166, pose_train.py:95-141).
+    # ------------------------------------------------------------------
+    def _scan_chunk(self, base, state, xs):
+        """Run ``base`` over the leading-axis-K stacked inputs ``xs``;
+        return (final state, per-step stacked metrics, last step's
+        outputs).  The outputs carry is seeded with zeros via
+        ``eval_shape`` (trace-only) so the compiled program contains the
+        step body exactly ONCE — unrolling a first step would double
+        compile time, minutes at full size on this host."""
+        first = jax.tree_util.tree_map(lambda a: a[0], xs)
+        outs_sd = jax.eval_shape(lambda s, x: base(s, *x)[2], state, first)
+        outs0 = jax.tree_util.tree_map(
+            lambda sd: jnp.zeros(sd.shape, sd.dtype), outs_sd)
+
+        def body(carry, x):
+            st, _ = carry
+            st, met, outs = base(st, *x)
+            return (st, outs), met
+
+        (state, outs), mets = jax.lax.scan(body, (state, outs0), xs)
+        return state, mets, outs
+
+    def _vae_scan(self, state, labels, rngs):
+        """K pose-VAE steps per dispatch: ``labels`` (K, B, D), ``rngs``
+        (K, 2) uint32 pre-folded keys."""
+        return self._scan_chunk(self._vae_update, state, (labels, rngs))
+
+    def _pretrain_scan(self, state, in_a, labels_a, in_b, labels_b, rngs,
+                       raw: bool = False, feat_mat: bool = True):
+        """K fused dis+gen steps per dispatch.  ``raw=True`` takes the
+        fused-augment 7-tuples (each leaf stacked to leading K)."""
+        upd = self._pretrain_update_raw if raw else self._pretrain_update
+
+        def base(st, ia, la, ib, lb, r):
+            return upd(st, ia, la, ib, lb, r, feat_mat=feat_mat)
+
+        return self._scan_chunk(base, state,
+                                (in_a, labels_a, in_b, labels_b, rngs))
+
+    def _post_scan(self, state, in_a, labels_a, in_b, labels_b, rngs,
+                   raw: bool = False, mode: int = 3):
+        """K posterior-regression steps per dispatch."""
+        upd = self._post_update_raw if raw else self._post_update
+
+        def base(st, ia, la, ib, lb, r):
+            return upd(st, ia, la, ib, lb, r, mode=mode)
+
+        return self._scan_chunk(base, state,
+                                (in_a, labels_a, in_b, labels_b, rngs))
 
     # ------------------------------------------------------------------
     # posterior-regression update (lsps_trainer.py:220-262)
