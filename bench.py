@@ -44,9 +44,11 @@ def _bench_train(jax, jnp, hyp_base, batch, compute_dtype, n_iter=30):
     # AOT-compile once and time the compiled executable directly —
     # calling the jit wrapper after lower().compile() would compile the
     # full-size program a SECOND time (the AOT path does not populate
-    # the jit dispatch cache), minutes on this host
+    # the jit dispatch cache), minutes on this host.  with_viz=False is
+    # the CLI's ordinary step (viz outputs only on image cadences).
     compiled = trainer.pretrain_update.lower(state, ia, la, ib, lb,
-                                             rng).compile()
+                                             rng,
+                                             with_viz=False).compile()
     flops = flops_of(compiled)
 
     # warmup (donation: thread the state linearly).  One call is not
@@ -114,7 +116,7 @@ def _bench_wall_cli_style(jax, jnp, hyp_base, batch, n_iter=25):
                 continue
             rng = host_fold_in(rng, it)
             state, m, _ = trainer.pretrain_update_raw(
-                state, raw_a, lbl_a, raw_b, lbl_b, rng)
+                state, raw_a, lbl_a, raw_b, lbl_b, rng, with_viz=False)
             it += 1
             if it == warm:  # compile + stream settled
                 jax.block_until_ready(m["gen_total_loss"])
@@ -163,7 +165,7 @@ def _bench_wall_scan(jax, jnp, hyp_base, batch, k=8, n_chunks=5):
             keys, rng = fold_chain(rng, it, k)
             state, m, _ = trainer.pretrain_scan(state, xs_a, ls_a,
                                                 xs_b, ls_b, keys,
-                                                raw=True)
+                                                raw=True, with_viz=False)
             it += k
             chunks += 1
             if chunks == warm:  # compile + stream settled

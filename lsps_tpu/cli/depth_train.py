@@ -131,21 +131,32 @@ def main(argv=None):
               "(LSPS_AUGMENT=step)")
 
     mesh_runner = C.make_mesh_runner(opts)
+    step_fns = None
     if mesh_runner is not None:
         mesh_runner.check_batch(batch_size)
         state = mesh_runner.shard_state(state)
         if not estimate:
             base = (trainer._pretrain_update_raw if raw_mode
                     else trainer._pretrain_update)
-            step_fn = mesh_runner.wrap(base, 4)
+
+            def _mk_step(v, _u=base):
+                def _f(s, ia, la, ib, lb, r):
+                    return _u(s, ia, la, ib, lb, r, with_viz=v)
+                return mesh_runner.wrap(_f, 4)
         else:
             base = (trainer._post_update_raw if raw_mode
                     else trainer._post_update)
 
-            def _post(s, ia, la, ib, lb, r, _f=base):
-                return _f(s, ia, la, ib, lb, r, mode=mode_idx)
+            def _mk_step(v, _u=base):
+                def _f(s, ia, la, ib, lb, r):
+                    return _u(s, ia, la, ib, lb, r, mode=mode_idx,
+                              with_viz=v)
+                return mesh_runner.wrap(_f, 4)
 
-            step_fn = mesh_runner.wrap(_post, 4)
+        # two pjit variants: ordinary steps drop the viz outputs (the
+        # panels cost ~10 ms/step of output-layout work, see
+        # trainer._pretrain_update); cadence steps use the full program
+        step_fns = {True: _mk_step(True), False: _mk_step(False)}
         print(f"data-parallel over {mesh_runner.n_data} devices "
               f"(global batch {batch_size * 2} images/step)")
 
@@ -160,24 +171,26 @@ def main(argv=None):
         print("--steps-per-call > 1 is single-process only; using 1 "
               "(per-host shard staging for scan chunks is not wired)")
         steps_per_call = 1
-    scan_fn = None
+    scan_fns = None
     if steps_per_call > 1 and mesh_runner is not None:
         # mesh + scan: stacked (K, B, ...) batches shard on axis 1
         # (batch) over ``data``; the K steps scan sequentially on every
         # device with one gradient all-reduce per scanned step
         if not estimate:
-            def _prescan(s, xa, la, xb, lb, keys,
-                         _f=trainer._pretrain_scan, _raw=raw_mode):
-                return _f(s, xa, la, xb, lb, keys, raw=_raw)
-
-            scan_fn = mesh_runner.wrap(_prescan, 4, batch_axis=1)
+            def _mk_scan(v, _u=trainer._pretrain_scan, _raw=raw_mode):
+                def _f(s, xa, la, xb, lb, keys):
+                    return _u(s, xa, la, xb, lb, keys, raw=_raw,
+                              with_viz=v)
+                return mesh_runner.wrap(_f, 4, batch_axis=1)
         else:
-            def _postscan(s, xa, la, xb, lb, keys,
-                          _f=trainer._post_scan, _raw=raw_mode,
-                          _m=mode_idx):
-                return _f(s, xa, la, xb, lb, keys, raw=_raw, mode=_m)
+            def _mk_scan(v, _u=trainer._post_scan, _raw=raw_mode,
+                         _m=mode_idx):
+                def _f(s, xa, la, xb, lb, keys):
+                    return _u(s, xa, la, xb, lb, keys, raw=_raw, mode=_m,
+                              with_viz=v)
+                return mesh_runner.wrap(_f, 4, batch_axis=1)
 
-            scan_fn = mesh_runner.wrap(_postscan, 4, batch_axis=1)
+        scan_fns = {True: _mk_scan(True), False: _mk_scan(False)}
     chunk_cadences = (config.image_display_iterations,
                       config.image_save_iterations,
                       config.snapshot_save_iterations)
@@ -225,18 +238,27 @@ def main(argv=None):
                         ls_a = np.stack([p[1] for p in pending])
                         ls_b = np.stack([p[3] for p in pending])
                         keys, rng = C.fold_chain(rng, iterations, n_plan)
-                        if scan_fn is not None:
-                            state, mets, outs = scan_fn(
+                        # viz outputs only if the chunk ENDS on an image
+                        # cadence (chunk_len guarantees no mid-chunk one)
+                        end = iterations + n_plan
+                        need_viz = (
+                            end % config.image_display_iterations == 0
+                            or end % config.image_save_iterations == 0)
+                        if scan_fns is not None:
+                            state, mets, outs = scan_fns[need_viz](
                                 state, xs_a, ls_a, xs_b, ls_b, keys)
                         elif not estimate:
                             state, mets, outs = trainer.pretrain_scan(
                                 state, xs_a, ls_a, xs_b, ls_b, keys,
-                                raw=raw_mode)
+                                raw=raw_mode, with_viz=need_viz)
                         else:
                             state, mets, outs = trainer.post_scan(
                                 state, xs_a, ls_a, xs_b, ls_b, keys,
-                                raw=raw_mode, mode=mode_idx)
-                        if raw_mode:
+                                raw=raw_mode, mode=mode_idx,
+                                with_viz=need_viz)
+                        if not need_viz:
+                            images_a = images_b = None
+                        elif raw_mode:
                             # last step's augmented images (viz strip)
                             outs, images_a, images_b = outs
                         else:
@@ -267,27 +289,39 @@ def main(argv=None):
                             labels_b = jnp.asarray(labels_b)
 
                     rng = C.host_fold_in(rng, iterations)
-                    if mesh_runner is not None:
-                        state, metrics, outs = step_fn(
+                    # viz outputs only on image cadences — ordinary
+                    # steps run the variant whose program XLA strips of
+                    # the ~10 ms/step of panel/output-layout work
+                    need_viz = (
+                        (iterations + 1) % config.image_display_iterations
+                        == 0
+                        or (iterations + 1) % config.image_save_iterations
+                        == 0)
+                    if step_fns is not None:
+                        state, metrics, outs = step_fns[need_viz](
                             state, in_a, labels_a, in_b, labels_b, rng)
                     elif raw_mode and not estimate:
                         state, metrics, outs = trainer.pretrain_update_raw(
-                            state, in_a, labels_a, in_b, labels_b, rng)
+                            state, in_a, labels_a, in_b, labels_b, rng,
+                            with_viz=need_viz)
                     elif raw_mode:
                         state, metrics, outs = trainer.post_update_raw(
                             state, in_a, labels_a, in_b, labels_b, rng,
-                            mode=mode_idx)
+                            mode=mode_idx, with_viz=need_viz)
                     elif not estimate:
                         # one fused XLA program per iteration (dis then
                         # gen); the reference dispatches two
                         # (depth_train.py:153-161)
                         state, metrics, outs = trainer.pretrain_update(
-                            state, in_a, labels_a, in_b, labels_b, rng)
+                            state, in_a, labels_a, in_b, labels_b, rng,
+                            with_viz=need_viz)
                     else:
                         state, metrics, outs = trainer.post_update(
                             state, in_a, labels_a, in_b, labels_b, rng,
-                            mode=mode_idx)
-                    if raw_mode:
+                            mode=mode_idx, with_viz=need_viz)
+                    if not need_viz:
+                        images_a = images_b = None
+                    elif raw_mode:
                         # raw updates also return the augmented images
                         # (needed for the viz strip on cadences)
                         outs, images_a, images_b = outs

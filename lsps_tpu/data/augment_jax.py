@@ -2,7 +2,7 @@
 
 The third augmentation backend (host per-sample cv2 = bit-parity
 reference; native C++ = fused host batch; this = fused DEVICE batch):
-the warp + sentinel/clamp + normalize chain of ``augmentCrop``
+the warp + sentinel/clamp/normalize chain of ``augmentCrop``
 (reference dataset_hand2.py:34-119) as ONE jitted XLA program over the
 whole batch.
 
@@ -14,11 +14,17 @@ are computed in float32 (vs double) and NN rounding is floor(x + 0.5)
 pixel-level disagreements cluster at warp rounding boundaries; the
 parity test requires >=99% pixel agreement, labels exact.
 
-Integration notes: called through the DataLoader (fast_backend="jax")
-the result is pulled back to numpy to honor the loader's tuple contract
-— one extra device->host->device round-trip per batch.  For a fully
-on-device pipeline call this function directly with device arrays and
-feed its output straight into the train step.
+TPU formulation (round 3): the sentinel/clamp/normalize chain is
+POINTWISE, so it commutes with the nearest-neighbour warp — apply it to
+the source crop first, then warp.  The warp itself is two one-hot
+einsums (row-select then column-select) instead of an elementwise
+``s[iy, ix]`` gather: inside the full-size training program XLA lowers
+that gather to a scalar-loop fusion costing 5.4 ms per domain per step
+(~98 M elem/s; xplane trace, docs/BENCHMARKS.md round-3), while the
+einsums are ordinary MXU work the compiler cannot degrade.  With
+``Precision.HIGHEST`` the selection is exact: each output pixel is
+1.0 * value + zeros, and the bf16-triple decomposition of a float32
+reconstructs it bit-exactly.
 """
 
 from __future__ import annotations
@@ -38,27 +44,47 @@ def device_recrop_normalize_batch(src, minv, com_z, cube_z, premax,
 
     out_x = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
     out_y = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    row_ids = jnp.arange(h, dtype=jnp.int32)
+    col_ids = jnp.arange(w, dtype=jnp.int32)
 
     def one(s, m, cz, qz, pm, zs, ze):
+        # pointwise sentinel/clamp/normalize chain FIRST (augmentCrop
+        # order is warp-then-pointwise; pointwise ops commute with the
+        # NN pixel selection, so this is value-identical per pixel)
+        far = cz + qz * 0.5
+        near = cz - qz * 0.5
+
+        def chain(v):
+            v = jnp.where(jnp.abs(v - nv_val) <= 1e-5 * abs(nv_val),
+                          pad_value, v)
+            v = jnp.where((v != 0.0) & (v < zs), zs, v)
+            v = jnp.where((v != 0.0) & (v > ze), 0.0, v)
+            v = jnp.where((v == pm) | (v == 0.0), far, v)
+            v = jnp.clip(v, near, far)
+            return (v - cz) / (qz * 0.5)
+
+        sn = chain(s)
+        pad_n = chain(jnp.asarray(pad_value, jnp.float32))
+
+        # source coordinates per output pixel (f32, floor(x + 0.5) NN
+        # rounding — half away from zero for in-bounds coords, matching
+        # the C++ kernel's lround there)
         ww = m[2, 0] * out_x + m[2, 1] * out_y + m[2, 2]
         sx = (m[0, 0] * out_x + m[0, 1] * out_y + m[0, 2]) / ww
         sy = (m[1, 0] * out_x + m[1, 1] * out_y + m[1, 2]) / ww
-        # floor(x + 0.5): half away from zero for positive (in-bounds)
-        # coords, matching the C++ kernel's lround there
         ix = jnp.floor(sx + 0.5).astype(jnp.int32)
         iy = jnp.floor(sy + 0.5).astype(jnp.int32)
         inside = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
-        v = s[jnp.clip(iy, 0, h - 1), jnp.clip(ix, 0, w - 1)]
-        v = jnp.where(inside, v, pad_value)
-        v = jnp.where(jnp.abs(v - nv_val) <= 1e-5 * abs(nv_val),
-                      pad_value, v)
-        v = jnp.where((v != 0.0) & (v < zs), zs, v)
-        v = jnp.where((v != 0.0) & (v > ze), 0.0, v)
-        far = cz + qz * 0.5
-        near = cz - qz * 0.5
-        v = jnp.where((v == pm) | (v == 0.0), far, v)
-        v = jnp.clip(v, near, far)
-        return (v - cz) / (qz * 0.5)
+
+        # NN warp as two one-hot contractions (out-of-range indices
+        # produce all-zero one-hot rows; those pixels take pad_n below)
+        oy = (iy[..., None] == row_ids).astype(jnp.float32)
+        ox = (ix[..., None] == col_ids).astype(jnp.float32)
+        zz = jnp.einsum("ijq,pq->pij", ox, sn,
+                        precision=jax.lax.Precision.HIGHEST)
+        v = jnp.einsum("ijp,pij->ij", oy, zz,
+                       precision=jax.lax.Precision.HIGHEST)
+        return jnp.where(inside, v, pad_n)
 
     return jax.vmap(one)(src, jnp.asarray(minv, jnp.float32),
                          jnp.asarray(com_z, jnp.float32),

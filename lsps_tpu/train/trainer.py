@@ -174,26 +174,31 @@ class LSPSTrainer:
         self.dis_update = jax.jit(self._dis_update, donate_argnums=dn,
                                   static_argnames=("feat_mat",))
         self.post_update = jax.jit(self._post_update, donate_argnums=dn,
-                                   static_argnames=("mode",))
+                                   static_argnames=("mode", "with_viz"))
         self.pretrain_update = jax.jit(self._pretrain_update,
                                        donate_argnums=dn,
-                                       static_argnames=("feat_mat",))
+                                       static_argnames=("feat_mat",
+                                                        "with_viz"))
         # fused-augment variants: augmentCrop's image chain runs inside
         # the same program (loader supplies warp params only)
         self.pretrain_update_raw = jax.jit(self._pretrain_update_raw,
                                            donate_argnums=dn,
-                                           static_argnames=("feat_mat",))
+                                           static_argnames=("feat_mat",
+                                                            "with_viz"))
         self.post_update_raw = jax.jit(self._post_update_raw,
                                        donate_argnums=dn,
-                                       static_argnames=("mode",))
+                                       static_argnames=("mode",
+                                                        "with_viz"))
         # multi-step scan variants: K steps per dispatch (see the
         # _scan_chunk section below)
         self.vae_scan = jax.jit(self._vae_scan, donate_argnums=dn)
         self.pretrain_scan = jax.jit(self._pretrain_scan,
                                      donate_argnums=dn,
-                                     static_argnames=("raw", "feat_mat"))
+                                     static_argnames=("raw", "feat_mat",
+                                                      "with_viz"))
         self.post_scan = jax.jit(self._post_scan, donate_argnums=dn,
-                                 static_argnames=("raw", "mode"))
+                                 static_argnames=("raw", "mode",
+                                                  "with_viz"))
 
     # ------------------------------------------------------------------
     def init_state(self, key) -> Dict[str, Pytree]:
@@ -445,14 +450,23 @@ class LSPSTrainer:
     # with (r1, r2) = split(rng) — pinned by tests/test_trainer.py.
     # ------------------------------------------------------------------
     def _pretrain_update(self, state, images_a, labels_a, images_b,
-                         labels_b, rng, feat_mat: bool = True):
+                         labels_b, rng, feat_mat: bool = True,
+                         with_viz: bool = True):
         r1, r2 = jax.random.split(rng)
         state, dmet, _ = self._dis_update(state, images_a, labels_a,
                                           images_b, labels_b, r1,
                                           feat_mat=feat_mat)
         state, gmet, outs = self._gen_update(state, images_a, labels_a,
                                              images_b, labels_b, r2)
-        return state, {**dmet, **gmet}, outs
+        # with_viz=False drops the 10-panel viz tuple from the program
+        # outputs.  The panels are only consumed on image cadences, yet
+        # materializing them as outputs forces layout conversions into
+        # XLA's linearized output form every step — measured ~10 ms of
+        # the batch-32 step on v5e (the augment gather alone re-runs
+        # serialized at 5.4 ms per domain when duplicated into the
+        # f32[B*H*W]{T(1024)} output layout; docs/BENCHMARKS.md round-3).
+        # The CLIs request viz only on cadence steps.
+        return state, {**dmet, **gmet}, outs if with_viz else None
 
     # ------------------------------------------------------------------
     # fused-augment steps: the image half of augmentCrop (reference
@@ -473,20 +487,26 @@ class LSPSTrainer:
         return imgs[..., None]  # (B, H, W) -> NHWC
 
     def _pretrain_update_raw(self, state, raw_a, labels_a, raw_b,
-                             labels_b, rng, feat_mat: bool = True):
+                             labels_b, rng, feat_mat: bool = True,
+                             with_viz: bool = True):
         images_a = self._device_augment(raw_a)
         images_b = self._device_augment(raw_b)
         state, met, outs = self._pretrain_update(
             state, images_a, labels_a, images_b, labels_b, rng,
-            feat_mat=feat_mat)
+            feat_mat=feat_mat, with_viz=with_viz)
+        if not with_viz:
+            return state, met, None
         return state, met, (outs, images_a, images_b)
 
     def _post_update_raw(self, state, raw_a, labels_a, raw_b, labels_b,
-                         rng, mode: int = 3):
+                         rng, mode: int = 3, with_viz: bool = True):
         images_a = self._device_augment(raw_a)
         images_b = self._device_augment(raw_b)
         state, met, outs = self._post_update(
-            state, images_a, labels_a, images_b, labels_b, rng, mode=mode)
+            state, images_a, labels_a, images_b, labels_b, rng, mode=mode,
+            with_viz=with_viz)
+        if not with_viz:
+            return state, met, None
         return state, met, (outs, images_a, images_b)
 
     # ------------------------------------------------------------------
@@ -528,24 +548,31 @@ class LSPSTrainer:
         return self._scan_chunk(self._vae_update, state, (labels, rngs))
 
     def _pretrain_scan(self, state, in_a, labels_a, in_b, labels_b, rngs,
-                       raw: bool = False, feat_mat: bool = True):
+                       raw: bool = False, feat_mat: bool = True,
+                       with_viz: bool = True):
         """K fused dis+gen steps per dispatch.  ``raw=True`` takes the
-        fused-augment 7-tuples (each leaf stacked to leading K)."""
+        fused-augment 7-tuples (each leaf stacked to leading K).
+        ``with_viz=False`` drops the viz outputs (an image cadence can
+        only land on a chunk's LAST step; the CLI requests viz only for
+        chunks that end on one)."""
         upd = self._pretrain_update_raw if raw else self._pretrain_update
 
         def base(st, ia, la, ib, lb, r):
-            return upd(st, ia, la, ib, lb, r, feat_mat=feat_mat)
+            return upd(st, ia, la, ib, lb, r, feat_mat=feat_mat,
+                       with_viz=with_viz)
 
         return self._scan_chunk(base, state,
                                 (in_a, labels_a, in_b, labels_b, rngs))
 
     def _post_scan(self, state, in_a, labels_a, in_b, labels_b, rngs,
-                   raw: bool = False, mode: int = 3):
+                   raw: bool = False, mode: int = 3,
+                   with_viz: bool = True):
         """K posterior-regression steps per dispatch."""
         upd = self._post_update_raw if raw else self._post_update
 
         def base(st, ia, la, ib, lb, r):
-            return upd(st, ia, la, ib, lb, r, mode=mode)
+            return upd(st, ia, la, ib, lb, r, mode=mode,
+                       with_viz=with_viz)
 
         return self._scan_chunk(base, state,
                                 (in_a, labels_a, in_b, labels_b, rngs))
@@ -555,7 +582,7 @@ class LSPSTrainer:
     # modes: 0 synth-only, 1 real-only, 3 synth+unlabeled, 4 semi-sup
     # ------------------------------------------------------------------
     def _post_update(self, state, images_a, labels_a, images_b, labels_b,
-                     rng, mode: int = 3):
+                     rng, mode: int = 3, with_viz: bool = True):
         hyp = self.hyp
         cd = self.compute_dtype
         params = state["params"]
@@ -627,6 +654,8 @@ class LSPSTrainer:
             "step": state["step"],
         }
         images = aux.pop("images")
+        if not with_viz:  # see _pretrain_update: XLA DCEs the panels
+            return new_state, aux, None
         x_aa, x_ba, x_ab, x_bb = images
         return new_state, aux, (x_aa, x_ba, x_ab, x_bb, x_aa, x_bb, x_aa,
                                 x_bb)

@@ -211,6 +211,56 @@ def test_post_scan_raw_equivalence():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_with_viz_false_same_training():
+    """``with_viz=False`` (the CLIs' ordinary-step variant — viz panels
+    cost ~10 ms/step of output-layout work at full size, see
+    trainer._pretrain_update) drops ONLY the third return element:
+    params and metrics match the with_viz=True program."""
+    trainer = _tiny_trainer()
+    b = 2
+    rs = np.random.RandomState(5)
+    ia = jnp.asarray((rs.randn(b, 128, 128, 1) * .2).astype(np.float32))
+    ib = jnp.asarray((rs.randn(b, 128, 128, 1) * .2).astype(np.float32))
+    la = jnp.asarray((rs.randn(b, 12) * .1).astype(np.float32))
+    lb = jnp.asarray((rs.randn(b, 12) * .1).astype(np.float32))
+    r = jax.random.PRNGKey(1)
+
+    s1, m1, outs1 = trainer.pretrain_update(
+        trainer.init_state(jax.random.PRNGKey(0)), ia, la, ib, lb, r)
+    s2, m2, outs2 = trainer.pretrain_update(
+        trainer.init_state(jax.random.PRNGKey(0)), ia, la, ib, lb, r,
+        with_viz=False)
+    assert outs1 is not None and outs2 is None
+    for k in m1:
+        np.testing.assert_allclose(float(m2[k]), float(m1[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
+    _assert_trees_close(s1["params"], s2["params"], rtol=1e-4, atol=1e-6)
+
+    # raw + scan composition: viz-less chunk returns None outs
+    raws_a = [_raw_batch(4, 30), _raw_batch(4, 31)]
+    raws_b = [_raw_batch(4, 40), _raw_batch(4, 41)]
+    ls = (np.random.RandomState(6).randn(2, 4, 12) * .1).astype(
+        np.float32)
+    keys, _ = C.fold_chain(np.asarray(jax.random.PRNGKey(2)), 0, 2)
+    s3, mets, outs3 = trainer.pretrain_scan(
+        trainer.init_state(jax.random.PRNGKey(0)), _stack_raw(raws_a),
+        ls, _stack_raw(raws_b), ls, keys, raw=True, with_viz=False)
+    assert outs3 is None
+    assert np.isfinite(np.asarray(mets["gen_total_loss"])).all()
+    assert mets["gen_total_loss"].shape == (2,)  # one entry per step
+    # pretrain keeps state["step"] (schedules ride the opt count;
+    # only vae_update advances it — trainer.py:248 vs :345)
+    assert int(s3["step"]) == 0
+
+    # posterior variant
+    s4, m4, o4 = trainer.post_update_raw(
+        trainer.init_state(jax.random.PRNGKey(0)), raws_a[0],
+        jnp.asarray(ls[0]), raws_b[0], jnp.asarray(ls[0]), r, mode=3,
+        with_viz=False)
+    assert o4 is None
+    assert np.isfinite(float(m4["dis_total_loss"]))
+
+
 # ---------------------------------------------------------------------
 # CLI-level equivalence: --steps-per-call K reproduces the classic loop
 # ---------------------------------------------------------------------
