@@ -47,6 +47,20 @@ def _raw_batch(b=4, seed=0):
     return (src, minv, com_z, cube_z, premax, zstart, zend)
 
 
+def test_device_augment_lowers_gather_free():
+    """The on-device warp must stay gather-free: XLA lowered the
+    elementwise ``s[iy, ix]`` gather to a 5.4 ms/domain scalar-loop
+    fusion inside the full-size training program (docs/BENCHMARKS.md
+    round-3), so the warp is two one-hot contractions instead.  Guard
+    against a refactor quietly reintroducing a gather."""
+    from lsps_tpu.data.augment_jax import device_recrop_normalize_batch
+
+    raw = _raw_batch(2)
+    txt = jax.jit(device_recrop_normalize_batch).lower(*raw).as_text()
+    assert "gather" not in txt, "augment warp reintroduced a gather"
+    assert "dot_general" in txt  # the one-hot contractions
+
+
 def test_pretrain_update_raw_equals_augment_then_update():
     """pretrain_update_raw(raw, ...) == pretrain_update(augment(raw), ...)
     — same math, one program."""
