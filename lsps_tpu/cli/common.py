@@ -5,11 +5,11 @@ from __future__ import annotations
 import argparse
 import os
 
-# persistent XLA compilation cache (first compile of the big update
-# graphs is minutes; subsequent CLI launches reuse it)
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.expanduser("~/.cache/lsps_tpu_jax"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+# NOTE: the persistent XLA compilation cache is configured once at
+# package import (lsps_tpu.__init__._enable_xla_cache, opt-out
+# LSPS_XLA_CACHE=0) — do not add a second env-var-based cache config
+# here: it would silently override the opt-out and split the cache
+# across two directories.
 
 import numpy as np
 
@@ -23,6 +23,16 @@ from lsps_tpu.utils.skeleton import tables_for
 import lsps_tpu.data.datasets  # noqa: F401
 import lsps_tpu.data.synthetic  # noqa: F401
 import lsps_tpu.train.trainer  # noqa: F401
+
+
+def _positive_int(value: str) -> int:
+    """argparse type for flags where 0 would otherwise be silently
+    replaced by a default through an ``x or default`` expression."""
+    n = int(value)
+    if n <= 0:
+        raise argparse.ArgumentTypeError(f"must be a positive integer, "
+                                         f"got {n}")
+    return n
 
 
 def base_parser(description: str) -> argparse.ArgumentParser:
@@ -60,7 +70,7 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                         "host/H2D overhead (~10 ms on a tunneled host) "
                         "K-fold with bit-identical numerics; chunks clip "
                         "to image/snapshot cadences.  1 = classic loop")
-    p.add_argument("--sch-interval", type=int, default=None,
+    p.add_argument("--sch-interval", type=_positive_int, default=None,
                    help="override the LR scheduler step interval "
                         "(reference: 1000 in pretrain/pose, 100 in "
                         "estimate — depth_train.py:154-164).  Smaller "

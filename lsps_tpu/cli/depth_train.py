@@ -124,8 +124,18 @@ def main(argv=None):
     # the reference's depth_train.py:140-166)
     # fused-in-step augmentation (LSPS_AUGMENT=step): the loader yields
     # warp params; the image chain runs inside the training program
-    raw_mode = bool(getattr(loader_a, "raw", False)
-                    and getattr(loader_b, "raw", False))
+    raw_a = bool(getattr(loader_a, "raw", False))
+    raw_b = bool(getattr(loader_b, "raw", False))
+    if raw_a != raw_b:
+        # asymmetric augment flags: one dataset declined the 'step'
+        # backend, so its loader yields images — the other must too
+        # (the step functions consume either two raw 7-tuples or two
+        # image batches, never a mix)
+        (loader_a if raw_a else loader_b).disable_raw()
+        print("LSPS_AUGMENT=step: only one train dataset supports "
+              "fused-in-step augmentation; using in-loader augmented "
+              "images for both")
+    raw_mode = raw_a and raw_b
     if raw_mode:
         print("augmentation fused into the training step "
               "(LSPS_AUGMENT=step)")

@@ -80,7 +80,12 @@ def main(argv=None):
     # mesh's data axis, vae params/optimizer replicate (SURVEY §2.8)
     mesh_runner = C.make_mesh_runner(opts)
     if mesh_runner is not None:
-        mesh_runner.check_batch(batch_size)
+        # the batch fed to vae_step is concat(labels_a, labels_b) when
+        # frac > 0 (the reference's pose_train.py:125-130), so the
+        # divisibility constraint applies to 2*batch_size there
+        mesh_runner.check_batch(
+            2 * batch_size if frac > 0.0 else batch_size,
+            what="vae batch size" if frac > 0.0 else "batch size")
         state = mesh_runner.shard_state(state)
         vae_step = mesh_runner.wrap(trainer._vae_update, 1)
         print(f"data-parallel over {mesh_runner.n_data} devices")

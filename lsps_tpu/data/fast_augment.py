@@ -158,7 +158,9 @@ class FastAugmenter:
         cubes = np.tile(np.asarray(cube0, np.float32)[None], (n, 1))
         coms2d = di.joint_3d_to_img(com3d).astype(np.float32)
         labels = np.empty_like(gt3d)
-        out_com2d = coms2d.copy()
+        # f64: holds the f64-projected new_com of 'com' samples exactly
+        # (the host path keeps new_com at f64 through the clamp bounds)
+        out_com2d = coms2d.astype(np.float64)
 
         # draws stay SEQUENTIAL (reference order, dataset_hand2.py:70-73
         # — all four drawn per sample regardless of mode); the math below
@@ -181,8 +183,11 @@ class FastAugmenter:
         if is_com.any():
             c2 = coms2d[is_com]
             c3 = di.joint_img_to_3d(c2)
-            new_com = di.joint_3d_to_img(
-                (c3 + offs[is_com]).astype(np.float32))
+            # keep float64 through the projection: the host path
+            # (detector.move_com) adds the f64 offset and projects at
+            # f64, and com_to_transform's int(floor(x + 0.5)) bounds
+            # can flip a whole pixel if new_com is narrowed to f32
+            new_com = di.joint_3d_to_img(c3 + offs[is_com])
             valid = ~(np.isclose(c2[:, 2], 0, atol=1e-8)
                       | np.isclose(new_com[:, 2], 0, atol=1e-8))
             Mnew = _batched_com_to_transform(new_com, cube0, (h, w),

@@ -48,6 +48,19 @@ class DataLoader:
                          and dataset.enable_fast_augment(fast_backend))
         self.raw = bool(self.fast and fast_backend == "step")
 
+    def disable_raw(self) -> None:
+        """Fall back from raw ('step') yields to in-loader augmented
+        images.  Used by the training CLIs when the PEER loader cannot
+        supply warp params (e.g. its dataset has augment off), so the
+        training step must consume images from both sides: mixing one
+        raw 7-tuple loader with one image loader would feed ragged
+        tuples into the image path.  Keeps the fused batched path on
+        the always-available 'jax' backend."""
+        if not self.raw:
+            return
+        self.raw = False
+        self.fast = bool(self.dataset.enable_fast_augment("jax"))
+
     def __len__(self):
         n = len(self.dataset)
         if self.drop_last:

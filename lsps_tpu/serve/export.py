@@ -128,8 +128,10 @@ class ArtifactPoseEstimator:
                 f"frame shape {frames.shape[1:]} != artifact's baked "
                 f"{self.frame_shape}")
         n = frames.shape[0]
+        if n == 0:  # the bucket loop below would concatenate nothing
+            return np.empty((0, self.n_joints, 3), np.float32)
         if self.bucket is None:  # symbolic batch: any size, one call
-            return self.call(frames, coms, cubes)
+            return np.asarray(self.call(frames, coms, cubes))
         outs = []
         for i in range(0, n, self.bucket):
             f, c, q = (a[i:i + self.bucket] for a in (frames, coms, cubes))

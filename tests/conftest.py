@@ -13,10 +13,10 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
-# persistent compilation cache: recompiles are the dominant cost here
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      "/tmp/lsps_tpu_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+# persistent compilation cache: recompiles are the dominant cost here —
+# lsps_tpu.__init__._enable_xla_cache configures ~/.cache/lsps_xla at
+# package import (opt-out LSPS_XLA_CACHE=0); no env-var config here,
+# it would silently defeat that opt-out.
 
 import jax  # noqa: E402
 

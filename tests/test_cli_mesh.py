@@ -6,44 +6,20 @@ axis.  Round-2 verdict item #1: the mesh path must be reachable from
 tests, and must produce the same metrics as single-device training.
 """
 
-import json
 import os
 
 import numpy as np
 import pytest
-import yaml
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+from helpers import make_synth_cfg, read_metrics
 
 
 def _make_cfg(tmp, tag, ch=4, n_frames=10):
-    """Tiny-channel copy of exps/synth.yaml with its own snapshot prefix
-    (so runs don't see each other's checkpoints)."""
-    with open(os.path.join(REPO, "exps", "synth.yaml")) as f:
-        doc = yaml.safe_load(f)
-    train = doc["train"]
-    train["snapshot_prefix"] = str(tmp / tag / "pre")
-    train["display"] = 1
-    train["snapshot_save_iterations"] = 2
-    train["image_save_iterations"] = 2
-    train["image_display_iterations"] = 2
-    hyp = train["hyperparameters"]
-    hyp["gen"]["ch"] = ch
-    hyp["dis"]["ch"] = ch
-    for ds in train["datasets"].values():
-        ds["sample_poses"] = 200
-        ds["n_frames"] = n_frames
-    cfg_path = tmp / f"{tag}.yaml"
-    with open(cfg_path, "w") as f:
-        yaml.safe_dump(doc, f)
-    return str(cfg_path)
+    return make_synth_cfg(tmp, tag, ch=ch, n_frames=n_frames,
+                          snapshot_iters=2, image_iters=2)
 
 
-def _metrics(logdir, cfg_path):
-    name = os.path.splitext(os.path.basename(cfg_path))[0]
-    path = os.path.join(logdir, name, "metrics.jsonl")
-    with open(path) as f:
-        return [json.loads(line) for line in f.read().splitlines()]
+_metrics = read_metrics
 
 
 def test_depth_pretrain_mesh_cli_matches_single(tmp_path):
@@ -111,6 +87,22 @@ def test_pose_train_mesh_cli_matches_single(tmp_path):
         np.testing.assert_allclose(rm["vae_total_loss"],
                                    rs["vae_total_loss"],
                                    rtol=2e-3, atol=1e-4)
+
+
+def test_pose_train_mesh_checks_concatenated_batch(tmp_path):
+    """With frac > 0 the batch fed to vae_step is concat(labels_a,
+    labels_b) = 2*batch rows (reference pose_train.py:125-130), so
+    --batch-size 4 --mesh-data 8 is a VALID run (8 rows shard evenly)
+    — the divisibility guard must check the concatenated size, not the
+    per-loader one."""
+    from lsps_tpu.cli import pose_train
+
+    cfg = _make_cfg(tmp_path, "pconcat")
+    log = str(tmp_path / "logs_pconcat")
+    pose_train.main(["--config", cfg, "--frac", "0.5", "--log", log,
+                     "--max-iterations", "2", "--batch-size", "4",
+                     "--mesh-data", "8"])
+    assert len(_metrics(log, cfg)) == 2
 
 
 def test_depth_pretrain_mesh_plus_step_augment(tmp_path, monkeypatch):

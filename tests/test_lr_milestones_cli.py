@@ -9,41 +9,28 @@ depth_train.py:154-164) so the boundaries land inside short runs.  The
 per-update LR is logged to metrics (``vae_lr``/``dis_lr``/``gen_lr``).
 """
 
-import json
 import os
 
 import numpy as np
 import yaml
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
 
 def _make_cfg(tmp, tag, snapshot_iters=1000):
-    with open(os.path.join(REPO, "exps", "synth.yaml")) as f:
-        doc = yaml.safe_load(f)
-    train = doc["train"]
-    train["snapshot_prefix"] = str(tmp / tag / "pre")
-    train["display"] = 1
-    train["snapshot_save_iterations"] = snapshot_iters
-    train["image_save_iterations"] = 100000
-    train["image_display_iterations"] = 100000
-    hyp = train["hyperparameters"]
-    hyp["gen"]["ch"] = 4
-    hyp["dis"]["ch"] = 4
-    for ds in train["datasets"].values():
-        ds["sample_poses"] = 300
-        ds["n_frames"] = 8
-    cfg_path = tmp / f"{tag}.yaml"
-    with open(cfg_path, "w") as f:
-        yaml.safe_dump(doc, f)
-    return str(cfg_path), hyp["lr"]
+    from helpers import make_synth_cfg
+
+    cfg = make_synth_cfg(tmp, tag, sample_poses=300,
+                         snapshot_iters=snapshot_iters,
+                         image_iters=100000,
+                         image_display_iters=100000)
+    with open(cfg) as f:
+        lr = yaml.safe_load(f)["train"]["hyperparameters"]["lr"]
+    return cfg, lr
 
 
 def _metrics(logdir, cfg_path):
-    name = os.path.splitext(os.path.basename(cfg_path))[0]
-    with open(os.path.join(logdir, name, "metrics.jsonl")) as f:
-        return {r["step"]: r for r in map(json.loads,
-                                          f.read().splitlines())}
+    from helpers import read_metrics
+
+    return {r["step"]: r for r in read_metrics(logdir, cfg_path)}
 
 
 def test_pose_vae_lr_milestone_cli(tmp_path):

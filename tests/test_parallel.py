@@ -82,17 +82,9 @@ def test_tp_model_axis_sharding_equivalence():
 
 
 def _tiny_trainer(**over):
-    from lsps_tpu.config import default_hyperparameters
-    from lsps_tpu.train import LSPSTrainer
+    from helpers import tiny_trainer
 
-    hyp = default_hyperparameters(reg_dim=12, small=True)
-    hyp["vae"]["input_dim"] = 12
-    hyp["dis"]["reg_dim"] = 12
-    hyp["dis"]["ch"] = 4
-    hyp["gen"]["ch"] = 4
-    hyp["map"]["output_ch"] = 16
-    hyp.update(over)
-    return LSPSTrainer(hyp)
+    return tiny_trainer(map_output_ch=16, **over)
 
 
 def _mesh_batch(mesh, b=8, reg_dim=12):

@@ -10,32 +10,18 @@ Reference loops being batched: depth_train.py:140-166,
 pose_train.py:95-141.
 """
 
-import json
 import os
 
 import numpy as np
-import pytest
-import yaml
 
 import jax
 import jax.numpy as jnp
 
 from lsps_tpu.cli import common as C
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-
-def _tiny_trainer(**over):
-    from lsps_tpu.config import default_hyperparameters
-    from lsps_tpu.train import LSPSTrainer
-
-    hyp = default_hyperparameters(reg_dim=12, small=True)
-    hyp["vae"]["input_dim"] = 12
-    hyp["dis"]["reg_dim"] = 12
-    hyp["dis"]["ch"] = 4
-    hyp["gen"]["ch"] = 4
-    hyp.update(over)
-    return LSPSTrainer(hyp)
+from helpers import make_synth_cfg as _make_cfg
+from helpers import read_metrics as _metrics
+from helpers import tiny_trainer as _tiny_trainer
 
 
 def _raw_batch(b=4, seed=0):
@@ -264,33 +250,6 @@ def test_with_viz_false_same_training():
 # ---------------------------------------------------------------------
 # CLI-level equivalence: --steps-per-call K reproduces the classic loop
 # ---------------------------------------------------------------------
-def _make_cfg(tmp_path, tag):
-    with open(os.path.join(REPO, "exps", "synth.yaml")) as f:
-        doc = yaml.safe_load(f)
-    train = doc["train"]
-    train["snapshot_prefix"] = str(tmp_path / tag / "pre")
-    train["display"] = 1
-    train["snapshot_save_iterations"] = 1000
-    train["image_save_iterations"] = 1000
-    train["image_display_iterations"] = 2
-    hyp = train["hyperparameters"]
-    hyp["gen"]["ch"] = 4
-    hyp["dis"]["ch"] = 4
-    for ds in train["datasets"].values():
-        ds["sample_poses"] = 200
-        ds["n_frames"] = 8
-    cfg_path = tmp_path / f"{tag}.yaml"
-    with open(cfg_path, "w") as f:
-        yaml.safe_dump(doc, f)
-    return str(cfg_path)
-
-
-def _metrics(logdir, cfg_path):
-    name = os.path.splitext(os.path.basename(cfg_path))[0]
-    with open(os.path.join(logdir, name, "metrics.jsonl")) as f:
-        return [json.loads(line) for line in f.read().splitlines()]
-
-
 def test_cli_depth_steps_per_call_matches_single(tmp_path):
     """depth_train --steps-per-call 2 == --steps-per-call 1, with an
     image cadence landing exactly on a chunk boundary (the outs

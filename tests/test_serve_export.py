@@ -145,6 +145,10 @@ def test_artifact_estimator_pad_to_bucket(tmp_path):
     # wrong frame geometry is a clear error, not a baked-shape crash
     with pytest.raises(ValueError, match="frame shape"):
         art.predict_frames(frames[:, :64, :64], coms, cubes)
+    # a zero-row batch answers empty instead of crashing the chunk loop
+    empty = art.predict_frames(frames[:0], coms[:0], cubes[:0])
+    assert isinstance(empty, np.ndarray)
+    assert empty.shape == (0, 36, 3)
 
 
 def test_artifact_estimator_symbolic(tmp_path):
@@ -158,8 +162,9 @@ def test_artifact_estimator_symbolic(tmp_path):
     art = ArtifactPoseEstimator(path)
     assert art.bucket is None
     want = est.predict_frames(frames, coms, cubes)
-    np.testing.assert_allclose(art.predict_frames(frames, coms, cubes),
-                               want, rtol=1e-5, atol=1e-4)
+    got = art.predict_frames(frames, coms, cubes)
+    assert isinstance(got, np.ndarray)  # same return type as bucket path
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
 
 
 def test_daemon_serves_artifact(tmp_path):

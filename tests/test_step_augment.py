@@ -5,30 +5,17 @@ item #2 — close the jitted-vs-wall step-time gap by keeping every
 iteration a single XLA dispatch including augmentation.
 """
 
-import json
 import os
 
 import numpy as np
-import pytest
 import yaml
 
 import jax
 import jax.numpy as jnp
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-
-def _tiny_trainer(**over):
-    from lsps_tpu.config import default_hyperparameters
-    from lsps_tpu.train import LSPSTrainer
-
-    hyp = default_hyperparameters(reg_dim=12, small=True)
-    hyp["vae"]["input_dim"] = 12
-    hyp["dis"]["reg_dim"] = 12
-    hyp["dis"]["ch"] = 4
-    hyp["gen"]["ch"] = 4
-    hyp.update(over)
-    return LSPSTrainer(hyp)
+from helpers import make_synth_cfg as _make_cfg
+from helpers import read_metrics as _metrics
+from helpers import tiny_trainer as _tiny_trainer
 
 
 def _raw_batch(b=4, seed=0):
@@ -135,31 +122,25 @@ def test_dataset_raw_fast_batch_contract():
     np.testing.assert_allclose(imgs, imgs2[:, 0], rtol=1e-6, atol=1e-6)
 
 
-def _make_cfg(tmp, tag):
-    with open(os.path.join(REPO, "exps", "synth.yaml")) as f:
-        doc = yaml.safe_load(f)
-    train = doc["train"]
-    train["snapshot_prefix"] = str(tmp / tag / "pre")
-    train["display"] = 1
-    train["snapshot_save_iterations"] = 1000
-    train["image_save_iterations"] = 1000
-    train["image_display_iterations"] = 2
-    hyp = train["hyperparameters"]
-    hyp["gen"]["ch"] = 4
-    hyp["dis"]["ch"] = 4
-    for ds in train["datasets"].values():
-        ds["sample_poses"] = 200
-        ds["n_frames"] = 8
-    cfg_path = tmp / f"{tag}.yaml"
-    with open(cfg_path, "w") as f:
-        yaml.safe_dump(doc, f)
-    return str(cfg_path)
+def test_loader_disable_raw_falls_back_to_images():
+    """disable_raw(): the loader leaves 'step' raw yields and serves
+    augmented IMAGE batches (jax backend) — used when the peer loader
+    cannot supply raw warp params."""
+    from lsps_tpu.data.loader import DataLoader, get_dataset
 
+    specs = {"seed": 5, "class_name": "dataset_hand_synth", "root": "",
+             "subset": "train", "joint_subset": "NYU", "sample_poses": 0,
+             "augment": True, "docom": False, "n_frames": 6,
+             "n_joints": 36}
+    import lsps_tpu.data.synthetic  # noqa: F401 (registration)
 
-def _metrics(logdir, cfg_path):
-    name = os.path.splitext(os.path.basename(cfg_path))[0]
-    with open(os.path.join(logdir, name, "metrics.jsonl")) as f:
-        return [json.loads(line) for line in f.read().splitlines()]
+    dl = DataLoader(get_dataset(specs), 3, shuffle=False,
+                    fast=True, fast_backend="step")
+    assert dl.raw
+    dl.disable_raw()
+    assert not dl.raw and dl.fast
+    batch = next(iter(dl))
+    assert batch[0].shape == (3, 1, 128, 128)  # images, not a 7-tuple
 
 
 def test_cli_step_backend_matches_jax_backend(tmp_path, monkeypatch):
@@ -185,3 +166,27 @@ def test_cli_step_backend_matches_jax_backend(tmp_path, monkeypatch):
         for k in ("dis_loss", "gen_total_loss"):
             np.testing.assert_allclose(rs[k], rj[k], rtol=1e-4,
                                        atol=1e-5, err_msg=k)
+
+
+def test_cli_step_backend_mixed_augment_flags(tmp_path, monkeypatch):
+    """LSPS_AUGMENT=step with asymmetric augment flags: train_b has
+    augment off, so its loader yields images while train_a's would
+    yield raw warp-param 7-tuples.  The CLI must demote the raw loader
+    to image yields (the step functions consume two of the SAME kind)
+    instead of feeding a ragged tuple into the image path."""
+    from lsps_tpu.cli import depth_train
+
+    monkeypatch.setenv("LSPS_AUGMENT", "step")
+    cfg = _make_cfg(tmp_path, "mixed")
+    with open(cfg) as f:
+        doc = yaml.safe_load(f)
+    doc["train"]["datasets"]["train_b"]["augment"] = False
+    with open(cfg, "w") as f:
+        yaml.safe_dump(doc, f)
+    log = str(tmp_path / "logs_mixed")
+    depth_train.main(["--config", cfg, "--mode", "pretrain",
+                      "--log", log, "--max-iterations", "2",
+                      "--batch-size", "4"])
+    mets = _metrics(log, cfg)
+    assert len(mets) == 2
+    assert all(np.isfinite(m["dis_loss"]) for m in mets)
