@@ -64,12 +64,15 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                         "(default), -1 = all local devices, N = N devices."
                         " The global batch shards over the mesh's data "
                         "axis; gradients all-reduce over ICI (GSPMD)")
-    p.add_argument("--steps-per-call", type=int, default=1,
+    p.add_argument("--steps-per-call", type=int, default=0,
                    help="train K steps per XLA dispatch (lax.scan over K "
                         "pre-staged batches).  Amortizes per-dispatch "
-                        "host/H2D overhead (~10 ms on a tunneled host) "
-                        "K-fold with bit-identical numerics; chunks clip "
-                        "to image/snapshot cadences.  1 = classic loop")
+                        "host overhead K-fold with bit-identical "
+                        "numerics; chunks clip to image/snapshot "
+                        "cadences.  1 = classic loop; 0 = auto "
+                        "(measured: 8 for the dispatch-bound pose step "
+                        "~2x wall win, 1 for the large depth steps where "
+                        "chunk staging costs more than it saves)")
     p.add_argument("--sch-interval", type=_positive_int, default=None,
                    help="override the LR scheduler step interval "
                         "(reference: 1000 in pretrain/pose, 100 in "
@@ -106,6 +109,23 @@ def make_datasets(config):
     ds_b = get_dataset(config.datasets["train_b"])
     ds_test = get_dataset(config.datasets["test_b"])
     return ds_a, ds_b, ds_test
+
+
+def resolve_steps_per_call(opts, auto: int) -> int:
+    """Resolve ``--steps-per-call`` (0 = auto) to a concrete chunk
+    size.  ``auto`` is the CLI's measured default: 8 for the
+    dispatch-bound pose step (~2x wall win), 1 for the large depth
+    steps where chunk staging costs more than the dispatches it saves
+    (docs/BENCHMARKS.md round-3).  Scan chunks are single-process only
+    (per-host shard staging is not wired)."""
+    import jax
+
+    k = auto if opts.steps_per_call == 0 else max(1, opts.steps_per_call)
+    if k > 1 and jax.process_count() > 1:
+        print("--steps-per-call > 1 is single-process only; using 1 "
+              "(per-host shard staging for scan chunks is not wired)")
+        k = 1
+    return k
 
 
 def make_trainer(config, sch_interval: int):

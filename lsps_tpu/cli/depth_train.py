@@ -176,11 +176,10 @@ def main(argv=None):
     # the last step's outputs, so image/snapshot cadences may land
     # exactly on a chunk boundary; near a boundary that K doesn't
     # divide, the loop falls back to single steps until re-aligned.
-    steps_per_call = max(1, opts.steps_per_call)
-    if steps_per_call > 1 and jax.process_count() > 1:
-        print("--steps-per-call > 1 is single-process only; using 1 "
-              "(per-host shard staging for scan chunks is not wired)")
-        steps_per_call = 1
+    # default (0 = auto) resolves to the classic single-step loop: the
+    # large depth steps measured a latency LOSS under scan on this
+    # platform (chunk staging > dispatch savings, docs/BENCHMARKS.md)
+    steps_per_call = C.resolve_steps_per_call(opts, auto=1)
     scan_fns = None
     if steps_per_call > 1 and mesh_runner is not None:
         # mesh + scan: stacked (K, B, ...) batches shard on axis 1

@@ -94,11 +94,10 @@ def main(argv=None):
     # tiny MLP, so per-dispatch host overhead dominates wall time on a
     # tunneled host; scanning K steps per program amortizes it K-fold
     # with the identical rng chain (trainer.vae_scan)
-    steps_per_call = max(1, opts.steps_per_call)
-    if steps_per_call > 1 and jax.process_count() > 1:
-        print("--steps-per-call > 1 is single-process only; using 1 "
-              "(per-host shard staging for scan chunks is not wired)")
-        steps_per_call = 1
+    # default (0 = auto) resolves to scan-8 here: measured ~2x wall win
+    # on the dispatch-bound pose step (docs/BENCHMARKS.md round-3
+    # full-size chain), identical numerics
+    steps_per_call = C.resolve_steps_per_call(opts, auto=8)
     vae_scan_fn = None
     if steps_per_call > 1 and mesh_runner is not None:
         # mesh + scan: (K, B, D) label stacks shard on axis 1 (batch)

@@ -347,3 +347,18 @@ def test_cli_pose_steps_per_call_matches_single(tmp_path):
                                    atol=1e-6)
         np.testing.assert_allclose(r3["vae_lr"], r1["vae_lr"], rtol=0,
                                    atol=0)
+
+
+def test_resolve_steps_per_call_auto():
+    """--steps-per-call defaults to 0 = auto, resolved per CLI from the
+    round-3 measurements: pose auto=8 (~2x wall win on the tiny
+    dispatch-bound step), depth auto=1 (chunk staging loses)."""
+    from types import SimpleNamespace as NS
+
+    assert C.resolve_steps_per_call(NS(steps_per_call=0), auto=8) == 8
+    assert C.resolve_steps_per_call(NS(steps_per_call=0), auto=1) == 1
+    # explicit values override auto; non-positive clamps to 1
+    assert C.resolve_steps_per_call(NS(steps_per_call=3), auto=8) == 3
+    assert C.resolve_steps_per_call(NS(steps_per_call=-2), auto=8) == 1
+    opts = C.base_parser("x").parse_args(["--config", "c"])
+    assert opts.steps_per_call == 0  # parser default is auto
