@@ -99,3 +99,26 @@ def test_step_timer():
     t.tick(10)
     dt, sps = t.window()
     assert dt >= 0 and sps >= 0
+
+
+def test_xla_cache_opt_out_subprocess():
+    """LSPS_XLA_CACHE=0 genuinely disables the persistent compilation
+    cache (it used to be silently re-enabled through a second env-var
+    config in cli/common.py — review finding, round 3)."""
+    import subprocess
+    import sys
+
+    code = ("import jax; jax.config.update('jax_platforms', 'cpu'); "
+            "import lsps_tpu, lsps_tpu.cli.common; "
+            "print('DIR=%r' % jax.config.jax_compilation_cache_dir)")
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=300, env={**os.environ, "LSPS_XLA_CACHE": "0"},
+    )
+    assert "DIR=None" in out.stdout, (out.stdout, out.stderr)
+    on = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=300,
+        env={k: v for k, v in os.environ.items() if k != "LSPS_XLA_CACHE"},
+    )
+    assert "lsps_xla" in on.stdout, (on.stdout, on.stderr)
