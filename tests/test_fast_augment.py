@@ -55,6 +55,44 @@ def test_jax_backend_matches_native():
     assert agree > 0.99, f"only {agree:.2%} pixels agree"
 
 
+def test_backend_divergence_is_sparse_boundary_flips():
+    """Character of the native-vs-jax disagreement (the decoherence
+    seed in the fused-step accuracy A/B, docs/BENCHMARKS.md): with
+    IDENTICAL warp params the two kernels may pick different source
+    pixels where f64-vs-f32 ``floor(x+0.5)`` straddles a tie — so the
+    differing pixels must be RARE (a systematic numeric drift would
+    touch every pixel) and, when they occur at the hand/background
+    edge, large.  A regression that introduced real numeric drift
+    (e.g. a lost f64 path in the native kernel or f32 coords upstream)
+    would blow the sparsity bound."""
+    spec = dict(SPEC, n_frames=48)
+    ds = get_dataset(spec)
+    fa = FastAugmenter(ds, backend="native")
+    idxs = list(range(len(ds)))
+    raw = fa.raw_batch(idxs)[0]
+
+    from lsps_tpu import native
+    from lsps_tpu.data.augment_jax import device_recrop_normalize_batch
+    from lsps_tpu.data.fast_augment import NV_VAL, PAD_VALUE
+
+    imgs_n = native.fused_recrop_normalize_batch(
+        *raw, pad_value=PAD_VALUE, nv_val=NV_VAL)
+    imgs_j = np.asarray(device_recrop_normalize_batch(
+        *raw, pad_value=PAD_VALUE, nv_val=NV_VAL))
+
+    d = imgs_n - imgs_j
+    nz = d != 0
+    assert nz.mean() < 1e-3, (
+        f"{nz.mean():.2%} pixels differ — rounding ties are ~1e-5; "
+        "this looks like numeric drift between the backends")
+    if nz.any():
+        # tie flips select a different source pixel; at the object
+        # border that is a near-full-range jump, not a small epsilon
+        assert np.median(np.abs(d[nz])) > 0.1, (
+            "differing pixels have small deltas — systematic drift, "
+            "not NN tie flips")
+
+
 def test_loader_fast_path_tuple_contract():
     from lsps_tpu.data.loader import DataLoader
 
