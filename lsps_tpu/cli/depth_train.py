@@ -34,6 +34,34 @@ from lsps_tpu.utils.logging import (MetricsWriter,
 
 MAX_EPOCHS = 100000
 
+# GAN-health advisory: across the measured full-size chains
+# (docs/BENCHMARKS.md "fused-step accuracy A/B"), pretrain runs whose
+# tail dis_fake_acc stayed >= ~0.95 (the generator almost never fools
+# the discriminator) produced latent spaces that opened estimate3 at
+# ~20 mm, while runs ending <= ~0.85 opened at 8.6-14 mm.  The basin is
+# set by the run seed, not the augment backend.
+FAKE_ACC_DOMINANT = 0.92
+
+
+def gan_health_note(acc_tail):
+    """Return an advisory string when pretrain ended discriminator-
+    dominant (mean tail fake acc above FAKE_ACC_DOMINANT), else None.
+    ``acc_tail`` is an iterable of (dis_true_acc, dis_fake_acc) from
+    the last display windows."""
+    accs = list(acc_tail)
+    if not accs:
+        return None
+    fake = sum(a[1] for a in accs) / len(accs)
+    if fake < FAKE_ACC_DOMINANT:
+        return None
+    true = sum(a[0] for a in accs) / len(accs)
+    return (f"NOTE: pretrain ended discriminator-dominant (tail "
+            f"true/fake acc {true:.2f}/{fake:.2f}).  Measured chains in "
+            f"this regime produced weak latent spaces (estimate-mode "
+            f"error ~2x worse, docs/BENCHMARKS.md).  Consider re-running "
+            f"pretrain with a different --seed before the estimate "
+            f"stage.")
+
 
 def main(argv=None):
     parser = C.base_parser("LSPS-TPU depth VAE-GAN / estimation training")
@@ -214,6 +242,9 @@ def main(argv=None):
 
     print(f"using {frac:.2f} percent of the labeled real data")
     best_err, best_acc = 100.0, 0.0
+    from collections import deque
+
+    acc_tail = deque(maxlen=5)  # (true, fake) accs, gan_health_note
     rng = jax.random.PRNGKey(opts.seed + 13)
     start = time.time()
     pending = []
@@ -366,6 +397,10 @@ def main(argv=None):
                                    step_metrics, writer,
                                    time.time() - start)
                         start = time.time()
+                        if "dis_fake_acc" in step_metrics:
+                            acc_tail.append(
+                                (float(step_metrics["dis_true_acc"]),
+                                 float(step_metrics["dis_fake_acc"])))
 
                     if (iterations + 1) % config.image_display_iterations \
                             == 0:
@@ -406,6 +441,10 @@ def main(argv=None):
                     iterations += 1
                     if iterations >= max_iterations:
                         writer.close()
+                        if not estimate:
+                            note = gan_health_note(acc_tail)
+                            if note:
+                                print(note)
                         return
 
 
