@@ -1,0 +1,29 @@
+#!/bin/bash
+# Full-size hardware validation of the remaining posterior-regression
+# modes: estimate0 (synth-only, lsps_trainer.py:228-231), estimate1
+# (real-only, :232-235) and estimate4 (semi-supervised, :236-259 with
+# the labeled-b term).  estimate3/5 already have full-size chains
+# (docs/BENCHMARKS.md); these three only ever ran in unit tests and the
+# multichip dryrun.  Starts each mode from the SAME healthy pretrain
+# basin (the seed-23455 native A/B arm snapshots) so the eval numbers
+# are comparable across modes.
+# Usage: bash scripts/estmodes_validate.sh [iters]
+set -x
+cd "$(dirname "$0")/.."
+IT=${1:-3000}
+SRC=outputs/synth_full
+OUT=outputs/estmodes
+mkdir -p "$OUT" logs/estmodes
+cp "$SRC"/pre_gen_00020000.npz "$SRC"/pre_dis_00020000.npz \
+   "$SRC"/pre_map_00020000.npz "$OUT"/ 2>/dev/null
+cp "$SRC"/pre_vae_2.90_00020000.npz "$OUT"/
+export LSPS_NATIVE=1
+unset LSPS_AUGMENT
+
+for MODE in estimate0 estimate1 estimate4; do
+  python -m lsps_tpu.cli.depth_train --config exps/ab_estmodes.yaml \
+    --mode "$MODE" --frac 0.9 --max-iterations "$IT" --batch-size 32 \
+    --bf16 --log ./logs/estmodes > "logs/estmodes/$MODE.log" 2>&1 \
+    || exit 1
+done
+echo DONE
