@@ -73,6 +73,11 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                         "(measured: 8 for the dispatch-bound pose step "
                         "~2x wall win, 1 for the large depth steps where "
                         "chunk staging costs more than it saves)")
+    p.add_argument("--snapshot-prefix", type=str, default=None,
+                   help="override the config's snapshot_prefix (where "
+                        "checkpoints are read/written).  Lets one YAML "
+                        "drive several runs without copies that differ "
+                        "only in the output directory")
     p.add_argument("--sch-interval", type=_positive_int, default=None,
                    help="override the LR scheduler step interval "
                         "(reference: 1000 in pretrain/pose, 100 in "
@@ -99,6 +104,8 @@ def load_experiment(opts):
         config.hyperparameters["max_iterations"] = opts.max_iterations
     if getattr(opts, "bf16", False):
         config.hyperparameters["compute_dtype"] = "bfloat16"
+    if getattr(opts, "snapshot_prefix", None):
+        config.snapshot_prefix = opts.snapshot_prefix
     return config
 
 

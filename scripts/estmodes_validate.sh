@@ -8,20 +8,28 @@
 # basin (the seed-23455 native A/B arm snapshots) so the eval numbers
 # are comparable across modes.
 # Usage: bash scripts/estmodes_validate.sh [iters]
-set -x
+set -ex
 cd "$(dirname "$0")/.."
 IT=${1:-3000}
 SRC=outputs/synth_full
 OUT=outputs/estmodes
 mkdir -p "$OUT" logs/estmodes
 cp "$SRC"/pre_gen_00020000.npz "$SRC"/pre_dis_00020000.npz \
-   "$SRC"/pre_map_00020000.npz "$OUT"/ 2>/dev/null
+   "$SRC"/pre_map_00020000.npz "$OUT"/
+# modes 3/4 load the pose VAE keyed 2+frac; modes 0/1 (and 5) key it by
+# frac alone (cli/depth_train.py:117, reference depth_train.py:118-124)
 cp "$SRC"/pre_vae_2.90_00020000.npz "$OUT"/
+cp "$SRC"/pre_vae_2.90_00020000.npz "$OUT"/pre_vae_0.90_00020000.npz
 export LSPS_NATIVE=1
 unset LSPS_AUGMENT
 
 for MODE in estimate0 estimate1 estimate4; do
-  python -m lsps_tpu.cli.depth_train --config exps/ab_estmodes.yaml \
+  # each mode must resume the SHARED pretrain dis snapshot, not the
+  # previous mode's pre_est_dis_* (get_model_list substring-matches
+  # 'dis' and sorts lexicographically, so pre_est_* would shadow pre_*)
+  rm -f "$OUT"/pre_est_*
+  python -m lsps_tpu.cli.depth_train --config exps/synth_full.yaml \
+    --snapshot-prefix "$OUT/pre" \
     --mode "$MODE" --frac 0.9 --max-iterations "$IT" --batch-size 32 \
     --bf16 --log ./logs/estmodes > "logs/estmodes/$MODE.log" 2>&1 \
     || exit 1

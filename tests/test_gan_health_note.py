@@ -4,9 +4,7 @@ A/B") showed tail dis_fake_acc >= ~0.95 predicts a weak latent space
 (~2x estimate-mode error); the CLI surfaces that to the user while a
 re-seed is still cheap."""
 
-import numpy as np
-
-from helpers import make_synth_cfg, tiny_trainer  # noqa: F401
+from helpers import make_synth_cfg
 
 from lsps_tpu.cli.depth_train import FAKE_ACC_DOMINANT, gan_health_note
 
