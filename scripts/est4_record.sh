@@ -1,0 +1,27 @@
+#!/bin/bash
+# Accuracy-record chain for estimate4 (semi-supervised with the
+# labeled-b term, lsps_trainer.py:236-259): the estmodes validation
+# (docs/BENCHMARKS.md) reached 8.24 mm in only 3k iterations — already
+# past the 8.61 mm round-2 estimate3 record — so run it longer from the
+# same healthy pretrain basin (seed-23455 native A/B arm, 20k) and let
+# the per-eval best tracking find the pre-overfit optimum.
+# Usage: bash scripts/est4_record.sh [iters]
+set -ex
+cd "$(dirname "$0")/.."
+IT=${1:-10000}
+SRC=outputs/synth_full
+OUT=outputs/est4_record
+mkdir -p "$OUT" logs/est4_record
+cp "$SRC"/pre_gen_00020000.npz "$SRC"/pre_dis_00020000.npz \
+   "$SRC"/pre_map_00020000.npz "$OUT"/
+# estimate4 loads the pose VAE keyed 2+frac (cli/depth_train.py:117)
+cp "$SRC"/pre_vae_2.90_00020000.npz "$OUT"/
+export LSPS_NATIVE=1
+unset LSPS_AUGMENT
+
+python -m lsps_tpu.cli.depth_train --config exps/synth_full.yaml \
+  --snapshot-prefix "$OUT/pre" \
+  --mode estimate4 --frac 0.9 --max-iterations "$IT" --batch-size 32 \
+  --bf16 --log ./logs/est4_record \
+  > logs/est4_record/estimate4.log 2>&1 || exit 1
+echo DONE
