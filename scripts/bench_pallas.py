@@ -3,6 +3,14 @@
 
 Forward and forward+backward on the generator's residual-block shape
 (B, 32, 32, 256). Prints one JSON line per variant.
+
+TIMING: `block_until_ready` is not a reliable sync on the tunneled
+platform (see docs/BENCHMARKS.md measurement-correction section), and a
+per-call host fetch would be swamped by the ~25 ms tunnel round-trip at
+microsecond kernel scale.  Slope timing instead: run n1 and n2
+dispatches, each bounded by ONE final host fetch (device executes
+serially, so the fetch bounds the whole run); per-call time =
+(T2 - T1) / (n2 - n1) — the round-trip and constant overheads cancel.
 """
 
 import argparse
@@ -20,7 +28,8 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--hw", type=int, default=32)
     p.add_argument("--ch", type=int, default=256)
-    p.add_argument("--iters", type=int, default=200)
+    p.add_argument("--iters", type=int, default=400,
+                   help="n1; n2 = 4*n1")
     opts = p.parse_args(argv)
 
     import numpy as np
@@ -34,29 +43,33 @@ def main(argv=None):
     x = jnp.asarray(np.random.RandomState(0).randn(
         opts.batch, opts.hw, opts.hw, opts.ch), jnp.float32)
 
-    def composed(x):
-        return L.leaky_relu(L.instance_norm(x))
+    def fetch(o):
+        return np.asarray(jax.tree_util.tree_leaves(o)[0].ravel()[0])
+
+    def slope_us(call):
+        # warm (program + arg streaming), queue drained by the fetch
+        for _ in range(3):
+            fetch(call())
+        n1, n2 = opts.iters, 4 * opts.iters
+        ts = []
+        for n in (n1, n2):
+            t0 = time.perf_counter()
+            for _ in range(n - 1):
+                call()
+            fetch(call())
+            ts.append(time.perf_counter() - t0)
+        return (ts[1] - ts[0]) / (n2 - n1) * 1e6
 
     def run(fn, tag):
         f = jax.jit(fn)
         g = jax.jit(jax.grad(lambda x: jnp.sum(fn(x) ** 2)))
-        f(x).block_until_ready()
-        g(x).block_until_ready()
-        t0 = time.perf_counter()
-        for _ in range(opts.iters):
-            out = f(x)
-        out.block_until_ready()
-        fwd = (time.perf_counter() - t0) / opts.iters * 1e6
-        t0 = time.perf_counter()
-        for _ in range(opts.iters):
-            out = g(x)
-        out.block_until_ready()
-        bwd = (time.perf_counter() - t0) / opts.iters * 1e6
+        fwd = slope_us(lambda: f(x))
+        bwd = slope_us(lambda: g(x))
         print(json.dumps({"metric": f"in_lrelu_{tag}",
                           "fwd_us": round(fwd, 2),
-                          "fwd_bwd_us": round(bwd, 2)}))
+                          "fwd_bwd_us": round(bwd, 2)}), flush=True)
 
-    run(composed, "xla_composed_autodiff")
+    run(composed_factory(L), "xla_composed_autodiff")
     norm_act.set_pallas_enabled(False)
     run(norm_act.fused_instance_norm_leaky_relu, "jnp_custom_vjp")
     if jax.default_backend() == "tpu":
@@ -74,21 +87,11 @@ def main(argv=None):
         g = jax.jit(jax.grad(
             lambda a, b: jnp.sum(fn(a, b).astype(jnp.float32) ** 2),
             argnums=(0, 1)))
-        f(xx, rr).block_until_ready()
-        jax.block_until_ready(g(xx, rr))
-        t0 = time.perf_counter()
-        for _ in range(opts.iters):
-            out = f(xx, rr)
-        out.block_until_ready()
-        fwd = (time.perf_counter() - t0) / opts.iters * 1e6
-        t0 = time.perf_counter()
-        for _ in range(opts.iters):
-            out = g(xx, rr)
-        jax.block_until_ready(out)
-        bwd = (time.perf_counter() - t0) / opts.iters * 1e6
+        fwd = slope_us(lambda: f(xx, rr))
+        bwd = slope_us(lambda: g(xx, rr))
         print(json.dumps({"metric": f"in_residual_{tag}",
                           "fwd_us": round(fwd, 2),
-                          "fwd_bwd_us": round(bwd, 2)}))
+                          "fwd_bwd_us": round(bwd, 2)}), flush=True)
 
     def composed2(a, b):
         return L.instance_norm(a) + b
@@ -101,6 +104,12 @@ def main(argv=None):
             run2(norm_act.fused_instance_norm_residual,
                  f"pallas_fused_{dtag}", xx, rr)
             norm_act.set_pallas_enabled(None)
+
+
+def composed_factory(L):
+    def composed(x):
+        return L.leaky_relu(L.instance_norm(x))
+    return composed
 
 
 if __name__ == "__main__":
