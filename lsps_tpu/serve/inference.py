@@ -33,7 +33,8 @@ class PoseEstimator:
     """
 
     def __init__(self, hyp: dict, params, camera: Optional[Camera] = None,
-                 domain: str = "b", dtype=jnp.float32, mesh=None):
+                 domain: str = "b", dtype=jnp.float32, mesh=None,
+                 warp: Optional[str] = None):
         """``dtype=jnp.bfloat16`` casts the conv-trunk weights and
         activations to bf16 — at batch 1 the trunk is weight-bandwidth
         bound (the SharedDis trunk holds ~19M params), so bf16 roughly
@@ -43,7 +44,13 @@ class PoseEstimator:
         for throughput serving — weights replicate, the batch shards
         over ``data``, and GSPMD splits the whole fused program (crop/
         normalize included) across chips with no host involvement.  The
-        reference serves one frame from one GPU (SURVEY.md §3.4)."""
+        reference serves one frame from one GPU (SURVEY.md §3.4).
+
+        ``warp``: crop warp lowering, ``"gather"`` or ``"einsum"``
+        (see serve/preprocess_jax.py); default from ``LSPS_SERVE_WARP``
+        env, else "gather"."""
+        import os
+        self.warp = warp or os.environ.get("LSPS_SERVE_WARP", "gather")
         self.dis = build_model(hyp["dis"])
         self.vae = build_model(hyp["vae"])
         self.camera = camera or Camera.nyu()
@@ -66,7 +73,8 @@ class PoseEstimator:
         def _frames_to_pose(params, frames, coms, cubes):
             """Raw frames + CoMs -> metric 3D joints, fully on device."""
             crops, _ = crop_normalize_batch(frames, coms, cubes,
-                                            self.camera.fx, self.camera.fy)
+                                            self.camera.fx, self.camera.fy,
+                                            warp=self.warp)
             pose = _crops_to_pose(params, crops[..., None])
             j = pose.reshape(pose.shape[0], -1, 3)
             com3d = jax.vmap(self.camera.img_to_3d)(coms)

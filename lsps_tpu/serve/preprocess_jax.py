@@ -11,6 +11,19 @@ nearest-neighbor sampling + masking — identical math to
 comToBounds/comToTransform, with NN sampling replacing cv2's resize
 (sub-pixel rounding may differ by <=1px at the crop border; the host
 path remains the bit-parity reference).
+
+Two warp lowerings, selected by the static ``warp`` argument:
+
+* ``"gather"`` — elementwise ``dpt[iy, ix]`` advanced indexing.
+* ``"einsum"`` — the crop affine is axis-aligned (pure scale +
+  translation, no rotation), so the NN selection is SEPARABLE: build
+  one-hot row/column selector matrices R (dh, H) and C (dw, W) and
+  compute ``R @ dpt @ C^T`` at ``Precision.HIGHEST`` (exact: each
+  output pixel is 1.0 * value + zeros).  Same lesson as the training
+  augment warp (data/augment_jax.py): inside large programs XLA can
+  lower elementwise gathers to scalar-loop fusions; one-hot
+  contractions are MXU work it cannot degrade.  Bit-identical to
+  "gather" by construction (pinned by tests/test_preprocess_jax.py).
 """
 
 from __future__ import annotations
@@ -59,9 +72,10 @@ def crop_transform(com, size, fx, fy, dsize=(128, 128)):
     return M, (xstart, ystart, wb, hb, scale, xoff, yoff)
 
 
-@functools.partial(jax.jit, static_argnames=("dsize", "fx", "fy"))
+@functools.partial(jax.jit, static_argnames=("dsize", "fx", "fy", "warp"))
 def crop_normalize(dpt, com, cube, fx: float, fy: float,
-                   dsize: Tuple[int, int] = (128, 128)):
+                   dsize: Tuple[int, int] = (128, 128),
+                   warp: str = "gather"):
     """Full fused preprocess for one frame.
 
     dpt: (H, W) depth in mm; com: (3,) (u, v, z); cube: (3,) mm.
@@ -78,19 +92,32 @@ def crop_normalize(dpt, com, cube, fx: float, fy: float,
     zstart = com[2] - cube[2] / 2.0
     zend = com[2] + cube[2] / 2.0
 
-    # inverse-map output pixels to source pixels (NN)
-    out_x = jax.lax.broadcasted_iota(jnp.float32, (dh, dw), 1)
-    out_y = jax.lax.broadcasted_iota(jnp.float32, (dh, dw), 0)
-    src_x = (out_x - xoff) / scale + xstart
-    src_y = (out_y - yoff) / scale + ystart
-    ix = jnp.floor(src_x).astype(jnp.int32)
-    iy = jnp.floor(src_y).astype(jnp.int32)
-    inside_dest = ((out_x >= xoff) & (out_x < xoff + jnp.ceil(wb * scale))
-                   & (out_y >= yoff) & (out_y < yoff + jnp.ceil(hb * scale)))
-    inside_src = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
-    vals = dpt[jnp.clip(iy, 0, H - 1), jnp.clip(ix, 0, W - 1)]
-    vals = jnp.where(inside_src, vals, 0.0)
-    vals = jnp.where(inside_dest, vals, 0.0)
+    # inverse-map output pixels to source pixels (NN).  The affine is
+    # axis-aligned, so the source coordinate is separable: x depends
+    # only on the output column, y only on the output row.
+    col = jnp.arange(dw, dtype=jnp.float32)
+    row = jnp.arange(dh, dtype=jnp.float32)
+    ix1 = jnp.floor((col - xoff) / scale + xstart).astype(jnp.int32)
+    iy1 = jnp.floor((row - yoff) / scale + ystart).astype(jnp.int32)
+    in_dest = (((col >= xoff) & (col < xoff + jnp.ceil(wb * scale)))[None, :]
+               & ((row >= yoff) & (row < yoff + jnp.ceil(hb * scale)))[:, None])
+    in_src = (((ix1 >= 0) & (ix1 < W))[None, :]
+              & ((iy1 >= 0) & (iy1 < H))[:, None])
+    if warp == "einsum":
+        # one-hot row/col selection: R (dh, H) @ dpt (H, W) @ C^T (W, dw)
+        # — exact at HIGHEST precision, and ordinary MXU work (see
+        # module docstring)
+        R = (iy1[:, None] == jnp.arange(H)).astype(jnp.float32)
+        C = (ix1[:, None] == jnp.arange(W)).astype(jnp.float32)
+        vals = jnp.einsum("yh,hw,xw->yx", R, dpt, C,
+                          precision=jax.lax.Precision.HIGHEST)
+    elif warp == "gather":
+        vals = dpt[jnp.clip(iy1, 0, H - 1)[:, None],
+                   jnp.clip(ix1, 0, W - 1)[None, :]]
+    else:
+        raise ValueError(f"unknown warp method {warp!r}")
+    vals = jnp.where(in_src, vals, 0.0)
+    vals = jnp.where(in_dest, vals, 0.0)
 
     # z-threshold (handdetector.py:293-297): near -> zstart, far -> 0
     vals = jnp.where((vals < zstart) & (vals != 0), zstart, vals)
@@ -102,5 +129,9 @@ def crop_normalize(dpt, com, cube, fx: float, fy: float,
     return vals, M
 
 
-crop_normalize_batch = jax.vmap(crop_normalize,
-                                in_axes=(0, 0, 0, None, None))
+def crop_normalize_batch(frames, coms, cubes, fx, fy,
+                         dsize=(128, 128), warp: str = "gather"):
+    """Batched ``crop_normalize`` (vmapped over frames/coms/cubes)."""
+    fn = functools.partial(crop_normalize, fx=fx, fy=fy, dsize=dsize,
+                           warp=warp)
+    return jax.vmap(fn)(frames, coms, cubes)

@@ -56,6 +56,8 @@ def main():
     ap.add_argument("--iters", type=int, default=60,
                     help="timed calls at batch<=32; scaled down as "
                          "batch grows to bound wall time")
+    ap.add_argument("--warp", default=None, choices=["gather", "einsum"],
+                    help="crop warp lowering (default: estimator default)")
     args = ap.parse_args()
     batches = [int(b) for b in args.batches.split(",")]
 
@@ -73,7 +75,7 @@ def main():
     params = {"dis": build_model(hyp["dis"]).init(kd),
               "vae": build_model(hyp["vae"]).init(kv)}
     est = PoseEstimator(hyp, params, camera=Camera.nyu(),
-                        dtype=jnp.bfloat16)
+                        dtype=jnp.bfloat16, warp=args.warp)
 
     rng = np.random.RandomState(0)
     frame = np.zeros((480, 640), np.float32)
