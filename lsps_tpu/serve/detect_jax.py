@@ -12,13 +12,17 @@ Contour-free reformulation (XLA has no findContours):
 
 * slice predicate: instead of "some contour area > 200", count
   *interior* pixels (3x3 neighborhood fully inside the slice mask, via
-  reduce_window) — a connected blob of contour area ~200 has interior
-  pixels, scattered speckle does not.  Threshold 150 interior px ~=
-  area 200 minus perimeter.
+  min/max reduce_windows over a per-pixel slice-index plane) — a
+  connected blob of contour area ~200 has interior pixels, scattered
+  speckle does not.  Threshold 150 interior px ~= area 200 minus
+  perimeter.
 * blob centroid: mask centroid (equals the contour moment centroid for
-  a filled blob).
-* box crop + per-slice z-window CoM and the 5-iteration refinement run
-  as masked full-frame reductions (no dynamic shapes).
+  a filled blob), computed for the selected slice only.
+* box crop + z-window CoM and the 5-iteration refinement run as masked
+  full-frame reductions (no dynamic shapes).
+* the whole 60-slice sweep touches the f32 frame once (slice-index
+  construction) and an int8 index plane thereafter — ~35 MB of HBM
+  traffic vs ~360 MB for the naive per-slice-mask form.
 
 Deviations from the host path (single-hand scenes are identical in
 practice; pinned by tests/test_detect_jax.py against
@@ -33,13 +37,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-
-
-def _box_count(mask, k: int = 3):
-    """Sum of ``mask`` over a k x k window (SAME padding)."""
-    return jax.lax.reduce_window(
-        mask.astype(jnp.float32), 0.0, jax.lax.add, (k, k), (1, 1),
-        "SAME")
 
 
 def _masked_com(vals, weight):
@@ -68,6 +65,7 @@ def device_detect(dpt, cube, fx: float, fy: float, steps: int = 65,
     (handdetector.py:571-636, 548-569).  Returns zeros when no slice
     qualifies (like the reference).
     """
+    assert steps <= 127, "slice index must fit in int8"
     dpt = jnp.asarray(dpt, jnp.float32)
     cube = jnp.asarray(cube, jnp.float32)
     h, w = dpt.shape
@@ -79,25 +77,46 @@ def device_detect(dpt, cube, fx: float, fy: float, steps: int = 65,
     xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
     ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
 
-    idxs = jnp.arange(5, steps, dtype=jnp.float32)
+    # ONE-PASS sweep (round 3): the naive form — vmap of per-slice
+    # masks/centroids over ~60 slices — reads the f32 frame plane ~5x
+    # per slice (~360 MB of HBM traffic, the dominant cost of the raw
+    # serve path).  Instead: a per-pixel slice-index plane (int8;
+    # invalid pixels -> -1), the interior test as two 3x3 min/max
+    # reduce_windows (all-9-in-one-slice <=> windowed min == max), and
+    # per-slice interior counts read the 0.3 MB int8 plane only.  The
+    # blob centroid is then computed for the SELECTED slice alone.
+    # Boundary semantics shift by a measure-zero set: the old per-slice
+    # interval was [lo, hi] inclusive both ends, the index plane assigns
+    # d == hi to the next slice.
+    s = jnp.floor((d - min_depth) / dz).astype(jnp.int32)
+    s = jnp.clip(s, 0, steps - 1)                 # d == max -> last slice
+    s = jnp.where(d > 0.0, s, -1).astype(jnp.int8)
 
-    def slice_stats(i):
-        lo = i * dz + min_depth
-        hi = (i + 1) * dz + min_depth
-        m = (d >= lo) & (d <= hi)
-        interior = _box_count(m) >= 9.0  # 3x3 fully inside
-        ok = jnp.sum(interior) >= float(interior_min)
-        mf = m.astype(jnp.float32)
-        n = jnp.maximum(jnp.sum(mf), 1.0)
-        cx = jnp.round(jnp.sum(xs * mf) / n)
-        cy = jnp.round(jnp.sum(ys * mf) / n)
-        return ok, cx, cy, lo, hi
+    sf = s.astype(jnp.float32)
+    smin = jax.lax.reduce_window(sf, jnp.inf, jax.lax.min, (3, 3), (1, 1),
+                                 "SAME")
+    smax = jax.lax.reduce_window(sf, -jnp.inf, jax.lax.max, (3, 3), (1, 1),
+                                 "SAME")
+    inb = (xs >= 1) & (xs < w - 1) & (ys >= 1) & (ys < h - 1)
+    interior = (smin == smax) & (s >= 0) & inb    # border: <9 neighbors
+    q = jnp.where(interior, s, jnp.int8(-1))
 
-    oks, cxs, cys, los, his = jax.vmap(slice_stats)(idxs)
+    ks = jnp.arange(5, steps, dtype=jnp.int8)     # skip nearest slices
+    counts = jax.vmap(
+        lambda k: jnp.sum((q == k).astype(jnp.int32)))(ks)
+    oks = counts >= interior_min
     any_ok = jnp.any(oks)
     first = jnp.argmax(oks)  # first qualifying slice (closest object)
-    cx, cy = cxs[first], cys[first]
-    lo, hi = los[first], his[first]
+    kf = ks[first].astype(jnp.float32)
+    lo = kf * dz + min_depth
+    hi = (kf + 1.0) * dz + min_depth
+
+    # blob centroid of the selected slice's full mask (invalid pixels
+    # carry s == -1, so the index plane alone decides membership)
+    mf = (s == ks[first]).astype(jnp.float32)
+    n = jnp.maximum(jnp.sum(mf), 1.0)
+    cx = jnp.round(jnp.sum(xs * mf) / n)
+    cy = jnp.round(jnp.sum(ys * mf) / n)
 
     # +-100 px box around the blob centroid, z-limited to the slice
     # (handdetector.py:600-612); CoM in absolute coords
