@@ -13,10 +13,14 @@ Endpoints:
 * ``GET  /healthz``  -> ``{"ok": true, "joints": J, "batches": N}``
 * ``POST /predict``  -> body JSON ``{"frames": [[...]], "coms": [[u,v,z]],
   "cubes": [[x,y,z]]}`` (lists, one entry per frame); response
-  ``{"joints": [[[x,y,z], ...], ...]}`` in metric mm.
+  ``{"joints": [[[x,y,z], ...], ...]}`` in metric mm.  Omit ``coms``
+  (and optionally ``cubes``, default 300 mm) to serve RAW frames: the
+  CoM is detected on device and the whole detect -> crop -> regress ->
+  decode chain runs as one XLA program (live-jit estimators only).
 * ``POST /predict_npz`` -> body = an ``.npz`` stream with arrays
-  ``frames``, ``coms``, ``cubes`` (binary path for real frame rates);
-  response is an ``.npz`` stream with array ``joints``.
+  ``frames``, ``coms``, ``cubes`` (binary path for real frame rates;
+  ``coms``/``cubes`` optional as above); response is an ``.npz`` stream
+  with array ``joints``.
 
 Threading: BaseHTTPRequestHandler in ThreadingHTTPServer; the estimator
 call itself is serialized with a lock (one XLA program in flight — the
@@ -106,10 +110,33 @@ class PoseServer:
                          else estimator.vae.input_dim // 3)
 
     def predict(self, frames, coms, cubes) -> np.ndarray:
+        """``coms=None`` selects the raw path: the CoM is DETECTED on
+        device (``predict_raw``, one XLA program end-to-end) — the
+        reference's live-demo flow (SURVEY.md §3.4) over HTTP.  ``cubes``
+        defaults to 300 mm there."""
         frames = np.asarray(frames, np.float32)
+        if frames.ndim != 3:
+            raise ValueError(f"frames {frames.shape}: want (B, H, W)")
+        if coms is None:
+            raw = getattr(self.est, "predict_raw", None)
+            if raw is None:
+                raise ValueError(
+                    "this estimator has no on-device detection "
+                    "(AOT artifacts bake the with-CoM program); "
+                    "supply 'coms'")
+            if cubes is None:
+                cubes = np.full((frames.shape[0], 3), 300.0, np.float32)
+            cubes = np.asarray(cubes, np.float32)
+            if cubes.shape != (frames.shape[0], 3):
+                raise ValueError(f"cubes {cubes.shape}: want "
+                                 f"({frames.shape[0]}, 3)")
+            with self.lock:
+                joints = raw(frames, cubes)
+                self.batches += 1
+            return joints
         coms = np.asarray(coms, np.float32)
         cubes = np.asarray(cubes, np.float32)
-        if frames.ndim != 3 or coms.shape != (frames.shape[0], 3) \
+        if coms.shape != (frames.shape[0], 3) \
                 or cubes.shape != (frames.shape[0], 3):
             raise ValueError(
                 f"shapes: frames {frames.shape} (want B,H,W), coms "
@@ -157,14 +184,17 @@ class PoseServer:
                 try:
                     if self.path == "/predict":
                         req = json.loads(body)
-                        joints = server.predict(req["frames"], req["coms"],
-                                                req["cubes"])
+                        joints = server.predict(req["frames"],
+                                                req.get("coms"),
+                                                req.get("cubes"))
                         self._send(200, json.dumps(
                             {"joints": joints.tolist()}).encode())
                     elif self.path == "/predict_npz":
                         data = np.load(io.BytesIO(body))
-                        joints = server.predict(data["frames"],
-                                                data["coms"], data["cubes"])
+                        joints = server.predict(
+                            data["frames"],
+                            data["coms"] if "coms" in data.files else None,
+                            data["cubes"] if "cubes" in data.files else None)
                         buf = io.BytesIO()
                         np.savez(buf, joints=joints)
                         self._send(200, buf.getvalue(),

@@ -92,6 +92,49 @@ def test_predict_npz_matches_json(server_url):
     np.testing.assert_allclose(joints, joints2, rtol=1e-5, atol=1e-4)
 
 
+def test_predict_raw_json_no_coms(server_url):
+    """Omitting 'coms' selects the raw path: on-device detection
+    (predict_raw), cubes defaulting to 300 mm."""
+    frames, _, cubes = _batch(2)
+    for body in ({"frames": frames.tolist(), "cubes": cubes.tolist()},
+                 {"frames": frames.tolist()}):
+        req = urllib.request.Request(server_url + "/predict",
+                                     data=json.dumps(body).encode(),
+                                     method="POST")
+        with urllib.request.urlopen(req) as r:
+            joints = np.asarray(json.load(r)["joints"])
+        assert joints.shape == (2, 36, 3)
+        assert np.isfinite(joints).all()
+
+
+def test_predict_raw_npz_no_coms(server_url):
+    frames, _, cubes = _batch(1)
+    buf = io.BytesIO()
+    np.savez(buf, frames=frames, cubes=cubes)
+    req = urllib.request.Request(server_url + "/predict_npz",
+                                 data=buf.getvalue(), method="POST")
+    with urllib.request.urlopen(req) as r:
+        joints = np.load(io.BytesIO(r.read()))["joints"]
+    assert joints.shape == (1, 36, 3) and np.isfinite(joints).all()
+
+
+def test_predict_raw_artifact_estimator_400():
+    """An estimator without predict_raw (the AOT artifact bakes the
+    with-CoM program) must answer 400 with a clear message, not 500."""
+    from lsps_tpu.serve.server import PoseServer
+
+    class NoRaw:
+        n_joints = 36
+
+        def predict_frames(self, frames, coms, cubes):  # pragma: no cover
+            raise AssertionError("should not be called")
+
+    ps = PoseServer(NoRaw())
+    frames, _, _ = _batch(1)
+    with pytest.raises(ValueError, match="no on-device detection"):
+        ps.predict(frames, None, None)
+
+
 def test_bad_shapes_400(server_url):
     req = urllib.request.Request(
         server_url + "/predict",
