@@ -31,6 +31,10 @@ def main(argv=None):
     p.add_argument("--symbolic", action="store_true",
                    help="symbolic batch dimension (one artifact, any "
                         "batch size)")
+    p.add_argument("--raw", action="store_true",
+                   help="bake the raw-detection program (frames, cubes)"
+                        " -> (joints, coms): CoM detection on device, no"
+                        " detector needed at the deployment site")
     p.add_argument("--frame-shape", type=str, default="480,640")
     p.add_argument("--platforms", type=str, default=None,
                    help="comma-separated lowering targets, e.g. tpu,cpu")
@@ -46,7 +50,7 @@ def main(argv=None):
                  if opts.platforms else None)
     exported = export_pose_program(
         est, batch=None if opts.symbolic else opts.batch,
-        frame_shape=(h, w), platforms=platforms)
+        frame_shape=(h, w), platforms=platforms, raw=opts.raw)
     save_pose_program(opts.out, exported)
     print(f"wrote {opts.out} ({os.path.getsize(opts.out)} bytes, "
           f"platforms={exported.platforms})")

@@ -15,6 +15,11 @@ Two export shapes:
 * symbolic batch (``batch=None``) — one artifact serves every batch
   size via jax.export shape polymorphism.
 
+And two program surfaces: the standard ``(frames, coms, cubes) ->
+joints`` program, or — with ``raw=True`` — ``(frames, cubes) ->
+(joints, coms)`` with the on-device CoM detection baked in as well
+(the deployment site needs no detector at all).
+
 The artifact records the lowering platforms; export with
 ``platforms=("tpu", "cpu")`` to produce a single file that loads on
 both a TPU pod and a CPU fallback host.
@@ -34,9 +39,13 @@ MAGIC = b"LSPSEXP1"  # file header: format/version tag
 
 def export_pose_program(est, batch: Optional[int] = 1,
                         frame_shape: Tuple[int, int] = (480, 640),
-                        platforms: Optional[Sequence[str]] = None):
+                        platforms: Optional[Sequence[str]] = None,
+                        raw: bool = False):
     """Export ``est`` (a ``serve.inference.PoseEstimator``) as one AOT
-    program ``(frames, coms, cubes) -> joints``.
+    program ``(frames, coms, cubes) -> joints`` — or, with ``raw=True``,
+    ``(frames, cubes) -> (joints, coms)`` with the CoM DETECTION baked
+    into the program too (the full live path, no detector needed at the
+    deployment site).
 
     batch: static batch size, or None for a symbolic batch dimension.
     frame_shape: (H, W) of the raw depth frames.
@@ -51,19 +60,29 @@ def export_pose_program(est, batch: Optional[int] = 1,
             "then cannot load on a single-device serving host")
     params = est.params  # baked into the module as constants
 
-    def fn(frames, coms, cubes):
-        return est._frames_to_pose(params, frames, coms, cubes)
+    if raw:
+        def fn(frames, cubes):
+            return est._raw_to_pose(params, frames, cubes)
+    else:
+        def fn(frames, coms, cubes):
+            return est._frames_to_pose(params, frames, coms, cubes)
 
     if batch is None:
         (b,) = jax.export.symbolic_shape("b")
     else:
         b = int(batch)
     h, w = frame_shape
-    args = (
-        jax.ShapeDtypeStruct((b, h, w), jnp.float32),
-        jax.ShapeDtypeStruct((b, 3), jnp.float32),
-        jax.ShapeDtypeStruct((b, 3), jnp.float32),
-    )
+    if raw:
+        args = (
+            jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((b, 3), jnp.float32),
+        )
+    else:
+        args = (
+            jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((b, 3), jnp.float32),
+            jax.ShapeDtypeStruct((b, 3), jnp.float32),
+        )
     kwargs = {}
     if platforms is not None:
         kwargs["platforms"] = tuple(platforms)
@@ -80,9 +99,11 @@ def save_pose_program(path: str, exported) -> None:
 
 
 def load_pose_program(path: str):
-    """Load a saved artifact; returns a callable
-    ``(frames, coms, cubes) -> (B, J, 3) joints`` that runs the
-    deserialized program (no model code or checkpoint needed)."""
+    """Load a saved artifact; returns a callable running the
+    deserialized program (no model code or checkpoint needed) —
+    ``(frames, coms, cubes) -> (B, J, 3) joints`` for a standard
+    artifact, ``(frames, cubes) -> ((B, J, 3) joints, (B, 3) coms)``
+    for a raw-detection one (arity is baked in the program)."""
     with open(path, "rb") as f:
         head = f.read(len(MAGIC))
         if head != MAGIC:
@@ -90,11 +111,13 @@ def load_pose_program(path: str):
         data = f.read()
     exported = jax.export.deserialize(bytearray(data))
 
-    def call(frames, coms, cubes):
-        out = exported.call(jnp.asarray(frames, jnp.float32),
-                            jnp.asarray(coms, jnp.float32),
-                            jnp.asarray(cubes, jnp.float32))
-        return np.asarray(out)
+    def call(*args):
+        if len(args) != len(exported.in_avals):
+            raise ValueError(
+                f"artifact takes {len(exported.in_avals)} arrays, "
+                f"got {len(args)}")
+        out = exported.call(*(jnp.asarray(a, jnp.float32) for a in args))
+        return jax.tree_util.tree_map(np.asarray, out)
 
     call.exported = exported
     return call
@@ -116,32 +139,71 @@ class ArtifactPoseEstimator:
         b = in_aval.shape[0]
         self.bucket: Optional[int] = b if isinstance(b, int) else None
         self.frame_shape = tuple(int(s) for s in in_aval.shape[1:])
-        out_aval = exported.out_avals[0]
+        out_aval = jax.tree_util.tree_leaves(exported.out_avals)[0]
         self.n_joints = int(out_aval.shape[1])
+        # arity 2 = raw-detection program (frames, cubes) -> (joints,
+        # coms); expose predict_raw only then, so capability checks via
+        # getattr (e.g. the serving daemon's) stay truthful
+        self.raw = len(exported.in_avals) == 2
+        if self.raw:
+            self.predict_raw = self._predict_raw
 
-    def predict_frames(self, frames, coms, cubes) -> np.ndarray:
-        frames = np.asarray(frames, np.float32)
-        coms = np.asarray(coms, np.float32)
-        cubes = np.asarray(cubes, np.float32)
+    def _bucketed(self, arrays, n):
+        """Run ``self.call`` over bucket-padded chunks; yields
+        (per-chunk outputs trimmed to real size)."""
+        outs = []
+        for i in range(0, n, self.bucket):
+            chunk = [a[i:i + self.bucket] for a in arrays]
+            k = chunk[0].shape[0]
+            if k < self.bucket:  # pad the tail chunk to the bucket
+                pad = self.bucket - k
+                chunk = [np.concatenate([a, np.repeat(a[-1:], pad, 0)])
+                         for a in chunk]
+            out = self.call(*chunk)
+            outs.append(jax.tree_util.tree_map(lambda o: o[:k], out))
+        return outs
+
+    def _check_frames(self, frames):
         if frames.shape[1:] != self.frame_shape:
             raise ValueError(
                 f"frame shape {frames.shape[1:]} != artifact's baked "
                 f"{self.frame_shape}")
+
+    def predict_frames(self, frames, coms, cubes) -> np.ndarray:
+        if self.raw:
+            raise ValueError(
+                "this artifact bakes the raw-detection program "
+                "(frames, cubes); use predict_raw / omit 'coms'")
+        frames = np.asarray(frames, np.float32)
+        coms = np.asarray(coms, np.float32)
+        cubes = np.asarray(cubes, np.float32)
+        self._check_frames(frames)
         n = frames.shape[0]
         if n == 0:  # the bucket loop below would concatenate nothing
             return np.empty((0, self.n_joints, 3), np.float32)
         if self.bucket is None:  # symbolic batch: any size, one call
             return np.asarray(self.call(frames, coms, cubes))
-        outs = []
-        for i in range(0, n, self.bucket):
-            f, c, q = (a[i:i + self.bucket] for a in (frames, coms, cubes))
-            k = f.shape[0]
-            if k < self.bucket:  # pad the tail chunk to the bucket
-                pad = self.bucket - k
-                f, c, q = (np.concatenate([a, np.repeat(a[-1:], pad, 0)])
-                           for a in (f, c, q))
-            outs.append(self.call(f, c, q)[:k])
-        return np.concatenate(outs, 0)
+        return np.concatenate(self._bucketed((frames, coms, cubes), n), 0)
+
+    def _predict_raw(self, frames, cubes=None, return_coms: bool = False):
+        frames = np.asarray(frames, np.float32)
+        if cubes is None:
+            cubes = np.full((frames.shape[0], 3), 300.0, np.float32)
+        cubes = np.asarray(cubes, np.float32)
+        self._check_frames(frames)
+        n = frames.shape[0]
+        if n == 0:
+            joints = np.empty((0, self.n_joints, 3), np.float32)
+            coms = np.empty((0, 3), np.float32)
+        elif self.bucket is None:
+            joints, coms = self.call(frames, cubes)
+        else:
+            outs = self._bucketed((frames, cubes), n)
+            joints = np.concatenate([o[0] for o in outs], 0)
+            coms = np.concatenate([o[1] for o in outs], 0)
+        if return_coms:
+            return np.asarray(joints), np.asarray(coms)
+        return np.asarray(joints)
 
     def predict_frame(self, frame, com, cube) -> np.ndarray:
         return self.predict_frames(np.asarray(frame)[None],

@@ -167,6 +167,87 @@ def test_artifact_estimator_symbolic(tmp_path):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
 
 
+def test_raw_artifact_roundtrip_and_bucketing(tmp_path):
+    """raw=True bakes detection into the artifact: (frames, cubes) ->
+    (joints, coms), matching the live predict_raw; pad-to-bucket works;
+    capability flags are truthful (predict_raw only on raw artifacts,
+    predict_frames refuses with a clear message)."""
+    from lsps_tpu.serve.export import ArtifactPoseEstimator
+
+    est, (frames, coms, cubes) = _estimator_and_batch(batch=3)
+    want_j, want_c = est.predict_raw(frames, cubes, return_coms=True)
+
+    exported = export_pose_program(est, batch=2,
+                                   frame_shape=frames.shape[1:], raw=True)
+    path = str(tmp_path / "pose_raw_b2.lsps")
+    save_pose_program(path, exported)
+    art = ArtifactPoseEstimator(path)
+    assert art.raw and art.bucket == 2 and art.n_joints == 36
+    got_j, got_c = art.predict_raw(frames, cubes, return_coms=True)
+    np.testing.assert_allclose(got_j, want_j, rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(got_c, want_c, rtol=1e-5, atol=1e-4)
+    # cubes default to 300mm, same as the live path
+    np.testing.assert_allclose(art.predict_raw(frames), want_j,
+                               rtol=1e-5, atol=1e-4)
+    with pytest.raises(ValueError, match="raw-detection"):
+        art.predict_frames(frames, coms, cubes)
+    empty = art.predict_raw(frames[:0], cubes[:0])
+    assert empty.shape == (0, 36, 3)
+
+    # a standard artifact must NOT grow a predict_raw capability
+    std = export_pose_program(est, batch=2, frame_shape=frames.shape[1:])
+    std_path = str(tmp_path / "pose_std.lsps")
+    save_pose_program(std_path, std)
+    assert getattr(ArtifactPoseEstimator(std_path), "predict_raw",
+                   None) is None
+
+
+def test_daemon_serves_raw_artifact(tmp_path):
+    """The daemon + a raw artifact: /predict without 'coms' answers via
+    the baked detection program; with 'coms' it answers 400."""
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    from lsps_tpu.serve.export import ArtifactPoseEstimator
+    from lsps_tpu.serve.server import PoseServer
+
+    est, (frames, coms, cubes) = _estimator_and_batch(batch=2)
+    exported = export_pose_program(est, batch=2,
+                                   frame_shape=frames.shape[1:], raw=True)
+    path = str(tmp_path / "pose_raw.lsps")
+    save_pose_program(path, exported)
+
+    ps = PoseServer(ArtifactPoseEstimator(path))
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), ps.handler())
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        req = urllib.request.Request(
+            url + "/predict",
+            data=json.dumps({"frames": frames.tolist()}).encode(),
+            method="POST")
+        with urllib.request.urlopen(req) as r:
+            joints = np.asarray(json.load(r)["joints"])
+        assert joints.shape == (2, 36, 3)
+        np.testing.assert_allclose(joints, est.predict_raw(frames),
+                                   rtol=1e-5, atol=1e-4)
+
+        bad = urllib.request.Request(
+            url + "/predict",
+            data=json.dumps({"frames": frames.tolist(),
+                             "coms": coms.tolist(),
+                             "cubes": cubes.tolist()}).encode(),
+            method="POST")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(bad)
+        assert e.value.code == 400
+    finally:
+        httpd.shutdown()
+
+
 def test_daemon_serves_artifact(tmp_path):
     """The serving daemon driven by an AOT artifact alone (no config,
     no checkpoints): /healthz reports the artifact's joint count and
