@@ -6,12 +6,18 @@
 # same healthy pretrain basin (seed-23455 native A/B arm, 20k) and let
 # the per-eval best tracking find the pre-overfit optimum.
 # Usage: bash scripts/est4_record.sh [iters]
+#   OUT=outputs/est4_record30k LOGD=logs/est4_record30k \
+#     bash scripts/est4_record.sh 30000   # fresh dir = fresh est run
+#     (reusing an OUT dir resumes its pre_est_* snapshots instead);
+#     30k reaches the first two LR-halving milestones (est mode steps
+#     the dis scheduler every 100 iters -> boundaries at 20k/30k).
 set -ex
 cd "$(dirname "$0")/.."
 IT=${1:-10000}
 SRC=outputs/synth_full
-OUT=outputs/est4_record
-mkdir -p "$OUT" logs/est4_record
+OUT=${OUT:-outputs/est4_record}
+LOGD=${LOGD:-logs/est4_record}
+mkdir -p "$OUT" "$LOGD"
 cp "$SRC"/pre_gen_00020000.npz "$SRC"/pre_dis_00020000.npz \
    "$SRC"/pre_map_00020000.npz "$OUT"/
 # estimate4 loads the pose VAE keyed 2+frac (cli/depth_train.py:117)
@@ -22,6 +28,6 @@ unset LSPS_AUGMENT
 python -m lsps_tpu.cli.depth_train --config exps/synth_full.yaml \
   --snapshot-prefix "$OUT/pre" \
   --mode estimate4 --frac 0.9 --max-iterations "$IT" --batch-size 32 \
-  --bf16 --log ./logs/est4_record \
-  > logs/est4_record/estimate4.log 2>&1 || exit 1
+  --bf16 --log "$LOGD" \
+  > "$LOGD/estimate4.log" 2>&1 || exit 1
 echo DONE
