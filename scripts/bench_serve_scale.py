@@ -58,6 +58,12 @@ def main():
                          "batch grows to bound wall time")
     ap.add_argument("--warp", default=None, choices=["gather", "einsum"],
                     help="crop warp lowering (default: estimator default)")
+    ap.add_argument("--chain", type=int, default=16,
+                    help="also run K calls chained inside ONE program "
+                         "(lax.scan with a live carry dependency): "
+                         "per-call time there is DEVICE execution with "
+                         "the per-dispatch host/tunnel overhead "
+                         "amortized 1/K.  0 disables.")
     args = ap.parse_args()
     batches = [int(b) for b in args.batches.split(",")]
 
@@ -110,6 +116,29 @@ def main():
             compiled(est.params, frames, coms, cubes)
         fetch(compiled(est.params, frames, coms, cubes))
         ms = (time.perf_counter() - t0) / n * 1e3
+        dev_ms = None
+        if args.chain:
+            # K calls chained in ONE program: the carry perturbs the
+            # next call's frames by a dynamic ~1e-27-relative factor so
+            # XLA can neither CSE the K calls nor hoist them (numerics
+            # unchanged at f32; outputs stay live via the stacked ys)
+            K = args.chain
+
+            def step(carry, _):
+                f = frames * (1.0 + carry * 1e-30)
+                j = est._frames_to_pose(est.params, f, coms, cubes)
+                return j[0, 0, 0] * 1e-3, j[0, 0, 0]
+
+            chained = jax.jit(lambda: jax.lax.scan(
+                step, jnp.float32(0.0), None, length=K))
+            for _ in range(3):
+                fetch(chained())
+            nc = max(4, (n + K - 1) // K)
+            t0 = time.perf_counter()
+            for _ in range(nc - 1):
+                chained()
+            fetch(chained())
+            dev_ms = (time.perf_counter() - t0) / (nc * K) * 1e3
         imgs_s = b / (ms / 1e3)
         t_flops = flops / V5E_PEAK_FLOPS * 1e3       # ms if MXU-bound
         t_bw = byts / V5E_HBM_BYTES_S * 1e3          # ms if HBM-bound
@@ -117,6 +146,9 @@ def main():
         rows.append({
             "batch": b, "ms": round(ms, 4),
             "ms_per_image": round(ms / b, 4),
+            **({"device_ms": round(dev_ms, 4),
+                "device_ms_per_image": round(dev_ms / b, 4)}
+               if dev_ms is not None else {}),
             "roundtrip_ms": round(rt_ms, 2),
             "images_per_s": round(imgs_s, 1),
             "gflops": round(flops / 1e9, 2),
@@ -124,6 +156,8 @@ def main():
             "roofline_ms": round(bound, 4),
             "roofline_bound": "hbm" if t_bw >= t_flops else "mxu",
             "pct_of_light": round(100 * bound / ms, 1),
+            **({"pct_of_light_device": round(100 * bound / dev_ms, 1)}
+               if dev_ms is not None else {}),
             "mfu_pct": round(100 * flops / (ms / 1e3) / V5E_PEAK_FLOPS, 2),
         })
         print(json.dumps(rows[-1]), flush=True)
