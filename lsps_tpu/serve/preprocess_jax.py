@@ -23,7 +23,10 @@ Two warp lowerings, selected by the static ``warp`` argument:
   augment warp (data/augment_jax.py): inside large programs XLA can
   lower elementwise gathers to scalar-loop fusions; one-hot
   contractions are MXU work it cannot degrade.  Bit-identical to
-  "gather" by construction (pinned by tests/test_preprocess_jax.py).
+  "gather" by construction (pinned by tests/test_preprocess_jax.py);
+  non-finite input pixels are sanitized to the invalid-depth sentinel
+  0 up front, so the einsum full-frame contraction cannot be poisoned
+  by a stray NaN/inf the gather path would never read.
 """
 
 from __future__ import annotations
@@ -82,6 +85,13 @@ def crop_normalize(dpt, com, cube, fx: float, fy: float,
     Returns (normalized (dh, dw) crop in [-1, 1], M (3, 3)).
     """
     dpt = jnp.asarray(dpt, jnp.float32)
+    # Non-finite pixels -> 0 (the pipeline's invalid-depth sentinel).
+    # Beyond hygiene this is what makes the two warp lowerings truly
+    # equivalent: the einsum path contracts over EVERY frame pixel with
+    # 0/1 weights, and a single NaN/inf anywhere (0 * inf = NaN) would
+    # poison the whole crop, while the gather path only reads sampled
+    # pixels (round-3 review finding).
+    dpt = jnp.where(jnp.isfinite(dpt), dpt, 0.0)
     com = jnp.asarray(com, jnp.float32)
     cube = jnp.asarray(cube, jnp.float32)
     H, W = dpt.shape

@@ -16,7 +16,9 @@ Endpoints:
   ``{"joints": [[[x,y,z], ...], ...]}`` in metric mm.  Omit ``coms``
   (and optionally ``cubes``, default 300 mm) to serve RAW frames: the
   CoM is detected on device and the whole detect -> crop -> regress ->
-  decode chain runs as one XLA program (live-jit estimators only).
+  decode chain runs as one XLA program; the response then also carries
+  ``"detected": [bool, ...]`` — frames where no depth slice qualified
+  have zeroed joints and ``false`` there.
 * ``POST /predict_npz`` -> body = an ``.npz`` stream with arrays
   ``frames``, ``coms``, ``cubes`` (binary path for real frame rates;
   ``coms``/``cubes`` optional as above); response is an ``.npz`` stream
@@ -109,14 +111,25 @@ class PoseServer:
         self.n_joints = (int(nj) if nj is not None
                          else estimator.vae.input_dim // 3)
 
-    def predict(self, frames, coms, cubes) -> np.ndarray:
+    def predict(self, frames, coms, cubes):
         """``coms=None`` selects the raw path: the CoM is DETECTED on
         device (``predict_raw``, one XLA program end-to-end) — the
-        reference's live-demo flow (SURVEY.md §3.4) over HTTP.  ``cubes``
-        defaults to 300 mm there."""
+        reference's live-demo flow (SURVEY.md §3.4) over HTTP.
+
+        Returns ``(joints, detected)``: ``detected`` is a per-frame bool
+        array on the raw path (False = no qualifying depth slice; those
+        frames' joints are zeroed so responses stay finite/valid JSON)
+        and ``None`` on the with-CoM path.  ``cubes`` defaults to 300 mm
+        on both paths."""
         frames = np.asarray(frames, np.float32)
         if frames.ndim != 3:
             raise ValueError(f"frames {frames.shape}: want (B, H, W)")
+        if cubes is None:
+            cubes = np.full((frames.shape[0], 3), 300.0, np.float32)
+        cubes = np.asarray(cubes, np.float32)
+        if cubes.shape != (frames.shape[0], 3):
+            raise ValueError(f"cubes {cubes.shape}: want "
+                             f"({frames.shape[0]}, 3)")
         if coms is None:
             raw = getattr(self.est, "predict_raw", None)
             if raw is None:
@@ -124,27 +137,26 @@ class PoseServer:
                     "this estimator has no on-device detection "
                     "(AOT artifacts bake the with-CoM program); "
                     "supply 'coms'")
-            if cubes is None:
-                cubes = np.full((frames.shape[0], 3), 300.0, np.float32)
-            cubes = np.asarray(cubes, np.float32)
-            if cubes.shape != (frames.shape[0], 3):
-                raise ValueError(f"cubes {cubes.shape}: want "
-                                 f"({frames.shape[0]}, 3)")
             with self.lock:
-                joints = raw(frames, cubes)
+                joints, det_coms = raw(frames, cubes, return_coms=True)
                 self.batches += 1
-            return joints
+            # detect_jax returns a zero CoM when no depth slice
+            # qualifies; the downstream crop divides by com_z, so those
+            # joints are NaN/degenerate.  Flag them and zero the joints
+            # (json.dumps would otherwise emit literal NaN — invalid
+            # strict JSON).
+            detected = det_coms[:, 2] > 0
+            joints = np.where(detected[:, None, None], joints, 0.0)
+            return joints, detected
         coms = np.asarray(coms, np.float32)
-        cubes = np.asarray(cubes, np.float32)
-        if coms.shape != (frames.shape[0], 3) \
-                or cubes.shape != (frames.shape[0], 3):
+        if coms.shape != (frames.shape[0], 3):
             raise ValueError(
                 f"shapes: frames {frames.shape} (want B,H,W), coms "
-                f"{coms.shape} / cubes {cubes.shape} (want B,3)")
+                f"{coms.shape} (want B,3)")
         with self.lock:
             joints = self.est.predict_frames(frames, coms, cubes)
             self.batches += 1
-        return joints
+        return joints, None
 
     def handler(self):
         server = self
@@ -184,19 +196,24 @@ class PoseServer:
                 try:
                     if self.path == "/predict":
                         req = json.loads(body)
-                        joints = server.predict(req["frames"],
-                                                req.get("coms"),
-                                                req.get("cubes"))
-                        self._send(200, json.dumps(
-                            {"joints": joints.tolist()}).encode())
+                        joints, detected = server.predict(req["frames"],
+                                                          req.get("coms"),
+                                                          req.get("cubes"))
+                        resp = {"joints": joints.tolist()}
+                        if detected is not None:
+                            resp["detected"] = detected.tolist()
+                        self._send(200, json.dumps(resp).encode())
                     elif self.path == "/predict_npz":
                         data = np.load(io.BytesIO(body))
-                        joints = server.predict(
+                        joints, detected = server.predict(
                             data["frames"],
                             data["coms"] if "coms" in data.files else None,
                             data["cubes"] if "cubes" in data.files else None)
                         buf = io.BytesIO()
-                        np.savez(buf, joints=joints)
+                        if detected is not None:
+                            np.savez(buf, joints=joints, detected=detected)
+                        else:
+                            np.savez(buf, joints=joints)
                         self._send(200, buf.getvalue(),
                                    ctype="application/octet-stream")
                     else:

@@ -69,7 +69,10 @@ def main(argv=None):
                           "fwd_us": round(fwd, 2),
                           "fwd_bwd_us": round(bwd, 2)}), flush=True)
 
-    run(composed_factory(L), "xla_composed_autodiff")
+    def composed(x):
+        return L.leaky_relu(L.instance_norm(x))
+
+    run(composed, "xla_composed_autodiff")
     norm_act.set_pallas_enabled(False)
     run(norm_act.fused_instance_norm_leaky_relu, "jnp_custom_vjp")
     if jax.default_backend() == "tpu":
@@ -104,12 +107,6 @@ def main(argv=None):
             run2(norm_act.fused_instance_norm_residual,
                  f"pallas_fused_{dtag}", xx, rr)
             norm_act.set_pallas_enabled(None)
-
-
-def composed_factory(L):
-    def composed(x):
-        return L.leaky_relu(L.instance_norm(x))
-    return composed
 
 
 if __name__ == "__main__":

@@ -119,15 +119,19 @@ def main():
         dev_ms = None
         if args.chain:
             # K calls chained in ONE program: the carry perturbs the
-            # next call's frames by a dynamic ~1e-27-relative factor so
+            # next call's frames by a dynamic ~1e-30-relative factor so
             # XLA can neither CSE the K calls nor hoist them (numerics
-            # unchanged at f32; outputs stay live via the stacked ys)
+            # unchanged at f32).  The carry/ys must be a FULL reduction
+            # over the joints — a single element (j[0,0,0]) would leave
+            # batch elements 1..B-1 dead and eligible for DCE/slice
+            # sinking, underreporting device_ms.
             K = args.chain
 
             def step(carry, _):
                 f = frames * (1.0 + carry * 1e-30)
                 j = est._frames_to_pose(est.params, f, coms, cubes)
-                return j[0, 0, 0] * 1e-3, j[0, 0, 0]
+                s = jnp.sum(j)            # keeps every batch element live
+                return s * 1e-3, s
 
             chained = jax.jit(lambda: jax.lax.scan(
                 step, jnp.float32(0.0), None, length=K))

@@ -52,6 +52,37 @@ def test_einsum_warp_bit_identical_to_gather(dsize):
         np.testing.assert_array_equal(np.asarray(Mg), np.asarray(Me))
 
 
+def test_non_finite_pixels_sanitized_both_warps():
+    """A NaN/inf pixel ANYWHERE in the frame must not poison the crop.
+
+    The einsum lowering contracts over every frame pixel with 0/1
+    weights (0 * inf = NaN), so without up-front sanitization a single
+    bad pixel — even far outside the crop window — would NaN the whole
+    output while the gather path stayed clean (round-3 review finding).
+    Both lowerings must treat non-finite as the invalid-depth sentinel
+    and stay bit-identical."""
+    dpt, cases = _frames()
+    dpt[5, 5] = np.nan        # far corner, outside every crop window
+    dpt[470, 630] = np.inf
+    com, cube = cases[2]
+    outs = {}
+    for warp in ("gather", "einsum"):
+        v, _ = crop_normalize(jnp.asarray(dpt), jnp.asarray(com),
+                              jnp.asarray(cube), CAM.fx, CAM.fy,
+                              warp=warp)
+        outs[warp] = np.asarray(v)
+        assert np.isfinite(outs[warp]).all(), warp
+    np.testing.assert_array_equal(outs["gather"], outs["einsum"])
+
+    # a non-finite pixel INSIDE the window behaves as invalid depth (0)
+    clean = np.nan_to_num(dpt, nan=0.0, posinf=0.0, neginf=0.0)
+    v, _ = crop_normalize(jnp.asarray(dpt), jnp.asarray(com),
+                          jnp.asarray(cube), CAM.fx, CAM.fy)
+    w, _ = crop_normalize(jnp.asarray(clean), jnp.asarray(com),
+                          jnp.asarray(cube), CAM.fx, CAM.fy)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(w))
+
+
 def test_estimator_warp_selection_matches():
     """PoseEstimator(warp=...) threads through to identical joints."""
     import jax

@@ -102,9 +102,51 @@ def test_predict_raw_json_no_coms(server_url):
                                      data=json.dumps(body).encode(),
                                      method="POST")
         with urllib.request.urlopen(req) as r:
-            joints = np.asarray(json.load(r)["joints"])
+            resp = json.load(r)
+        joints = np.asarray(resp["joints"])
         assert joints.shape == (2, 36, 3)
         assert np.isfinite(joints).all()
+        assert resp["detected"] == [True, True]
+
+
+def test_predict_raw_detection_failure_flagged(server_url):
+    """A frame with no detectable hand (all far plane) must answer 200
+    with detected=false and FINITE (zeroed) joints — never literal NaN,
+    which is invalid strict JSON (round-3 review finding)."""
+    frames, _, _ = _batch(2)
+    frames[1] = 0.0  # invalid-depth everywhere -> no qualifying slice
+    req = urllib.request.Request(
+        server_url + "/predict",
+        data=json.dumps({"frames": frames.tolist()}).encode(),
+        method="POST")
+    with urllib.request.urlopen(req) as r:
+        resp = json.loads(r.read().decode())  # strict JSON parse
+    joints = np.asarray(resp["joints"])
+    assert resp["detected"] == [True, False]
+    assert np.isfinite(joints).all()
+    assert np.all(joints[1] == 0.0) and np.any(joints[0] != 0.0)
+
+
+def test_predict_coms_without_cubes_defaults_300(server_url):
+    """Docstring promises cubes is optional on BOTH paths: supplying
+    coms without cubes must default to 300 mm, not 400 (round-3 review
+    finding)."""
+    frames, coms, cubes = _batch(1)
+    req = urllib.request.Request(
+        server_url + "/predict",
+        data=json.dumps({"frames": frames.tolist(),
+                         "coms": coms.tolist()}).encode(),
+        method="POST")
+    with urllib.request.urlopen(req) as r:
+        joints = np.asarray(json.load(r)["joints"])
+    req2 = urllib.request.Request(
+        server_url + "/predict",
+        data=json.dumps({"frames": frames.tolist(), "coms": coms.tolist(),
+                         "cubes": cubes.tolist()}).encode(),
+        method="POST")
+    with urllib.request.urlopen(req2) as r:
+        want = np.asarray(json.load(r)["joints"])
+    np.testing.assert_allclose(joints, want, rtol=1e-5, atol=1e-4)
 
 
 def test_predict_raw_npz_no_coms(server_url):
@@ -114,8 +156,10 @@ def test_predict_raw_npz_no_coms(server_url):
     req = urllib.request.Request(server_url + "/predict_npz",
                                  data=buf.getvalue(), method="POST")
     with urllib.request.urlopen(req) as r:
-        joints = np.load(io.BytesIO(r.read()))["joints"]
+        data = np.load(io.BytesIO(r.read()))
+    joints = data["joints"]
     assert joints.shape == (1, 36, 3) and np.isfinite(joints).all()
+    assert data["detected"].tolist() == [True]
 
 
 def test_predict_raw_artifact_estimator_400():
