@@ -107,6 +107,35 @@ def test_pose_estimator_sharded_matches_single_device():
                                atol=1e-4)
 
 
+def test_predict_raw_sharded_matches_single_device():
+    """The FULL raw path — on-device detection included — under the
+    8-device data mesh: GSPMD must split detect+crop+regress+decode
+    per-frame and reproduce the single-device joints AND CoMs.  One
+    frame is undetectable (all invalid depth) so the zero-CoM failure
+    path is exercised under sharding too."""
+    from lsps_tpu.parallel.mesh import make_mesh
+
+    cam, dpt, _ = _frame()
+    frames = np.stack([dpt + 2.0 * i for i in range(8)]).astype(np.float32)
+    frames[5] = 0.0  # no qualifying slice -> zero CoM on that shard
+    cubes = np.full((8, 3), 300.0, np.float32)
+
+    key = jax.random.PRNGKey(0)
+    kd, kv = jax.random.split(key)
+    params = {"dis": build_model(HYP["dis"]).init(kd),
+              "vae": build_model(HYP["vae"]).init(kv)}
+
+    single = PoseEstimator(HYP, params, camera=cam)
+    want_j, want_c = single.predict_raw(frames, cubes, return_coms=True)
+    assert want_c[5, 2] == 0.0 and np.any(want_c[0] != 0.0)
+
+    sharded = PoseEstimator(HYP, params, camera=cam,
+                            mesh=make_mesh(n_data=8))
+    got_j, got_c = sharded.predict_raw(frames, cubes, return_coms=True)
+    np.testing.assert_allclose(got_c, want_c, rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(got_j, want_j, rtol=1e-5, atol=1e-3)
+
+
 def test_latent_walk_shapes():
     gen = build_model(HYP["gen"])
     params = gen.init(jax.random.PRNGKey(1))
