@@ -127,21 +127,28 @@ def main():
             # sinking, underreporting device_ms.
             K = args.chain
 
-            def step(carry, _):
-                f = frames * (1.0 + carry * 1e-30)
-                j = est._frames_to_pose(est.params, f, coms, cubes)
-                s = jnp.sum(j)            # keeps every batch element live
-                return s * 1e-3, s
+            # params/frames/coms/cubes MUST be explicit arguments: a
+            # zero-arg jit closure bakes them into the program as
+            # constants, and at batch 256 the 314 MB frames constant
+            # blows the tunnel's remote_compile body limit (HTTP 413).
+            @jax.jit
+            def chained(params, frames, coms, cubes):
+                def step(carry, _):
+                    f = frames * (1.0 + carry * 1e-30)
+                    j = est._frames_to_pose(params, f, coms, cubes)
+                    s = jnp.sum(j)        # keeps every batch element live
+                    return s * 1e-3, s
 
-            chained = jax.jit(lambda: jax.lax.scan(
-                step, jnp.float32(0.0), None, length=K))
+                return jax.lax.scan(step, jnp.float32(0.0), None, length=K)
+
+            cargs = (est.params, frames, coms, cubes)
             for _ in range(3):
-                fetch(chained())
+                fetch(chained(*cargs))
             nc = max(4, (n + K - 1) // K)
             t0 = time.perf_counter()
             for _ in range(nc - 1):
-                chained()
-            fetch(chained())
+                chained(*cargs)
+            fetch(chained(*cargs))
             dev_ms = (time.perf_counter() - t0) / (nc * K) * 1e3
         imgs_s = b / (ms / 1e3)
         t_flops = flops / V5E_PEAK_FLOPS * 1e3       # ms if MXU-bound
