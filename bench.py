@@ -276,29 +276,29 @@ def main():
     if raw_ms is not None:
         out["raw_detect_to_pose_ms"] = round(raw_ms, 4)
 
-    # peak serving throughput (batch 64, the measured saturation point —
-    # scripts/bench_serve_scale.py has the full sweep + rooflines)
-    try:
-        b = 64
-        frames64 = jnp.asarray(np.broadcast_to(frame, (b,) + frame.shape))
-        coms64 = jnp.asarray(np.broadcast_to(com, (b, 3)))
-        cubes64 = jnp.asarray(np.broadcast_to(cube, (b, 3)))
-        for _ in range(3):
-            fetch(est_bf16._frames_to_pose(est_bf16.params, frames64,
-                                           coms64, cubes64))
-        n64 = 40
-        t0 = time.perf_counter()
-        for _ in range(n64 - 1):
-            est_bf16._frames_to_pose(est_bf16.params, frames64, coms64,
-                                     cubes64)
-        fetch(est_bf16._frames_to_pose(est_bf16.params, frames64, coms64,
-                                       cubes64))
-        ms64 = (time.perf_counter() - t0) / n64 * 1e3
-        out["serve_b64_ms_per_image"] = round(ms64 / b, 4)
-        out["serve_b64_images_per_s"] = round(b / (ms64 / 1e3), 1)
-    except Exception as e:
-        print(f"b64 throughput bench skipped: {type(e).__name__}: {e}",
-              file=__import__("sys").stderr)
+    # serving throughput at scale.  With the einsum crop warp (the
+    # default after the round-3 A/B, scripts/serve_ab.sh) per-image
+    # cost keeps improving through batch 256 (~57k img/s), so report
+    # b64 (continuity with earlier rounds) AND the b256 peak —
+    # scripts/bench_serve_scale.py has the full sweep + rooflines.
+    for b in (64, 256):
+        try:
+            fr = jnp.asarray(np.broadcast_to(frame, (b,) + frame.shape))
+            cm = jnp.asarray(np.broadcast_to(com, (b, 3)))
+            cb = jnp.asarray(np.broadcast_to(cube, (b, 3)))
+            for _ in range(3):
+                fetch(est_bf16._frames_to_pose(est_bf16.params, fr, cm, cb))
+            nb = 40 if b == 64 else 16
+            t0 = time.perf_counter()
+            for _ in range(nb - 1):
+                est_bf16._frames_to_pose(est_bf16.params, fr, cm, cb)
+            fetch(est_bf16._frames_to_pose(est_bf16.params, fr, cm, cb))
+            msb = (time.perf_counter() - t0) / nb * 1e3
+            out[f"serve_b{b}_ms_per_image"] = round(msb / b, 4)
+            out[f"serve_b{b}_images_per_s"] = round(b / (msb / 1e3), 1)
+        except Exception as e:
+            print(f"b{b} throughput bench skipped: {type(e).__name__}: {e}",
+                  file=__import__("sys").stderr)
 
     # training throughput + MFU (full-size NYU pretrain, fused step)
     try:

@@ -48,9 +48,14 @@ class PoseEstimator:
 
         ``warp``: crop warp lowering, ``"gather"`` or ``"einsum"``
         (see serve/preprocess_jax.py); default from ``LSPS_SERVE_WARP``
-        env, else "gather"."""
+        env, else "einsum".  The round-3 A/B on the real chip
+        (scripts/serve_ab.sh, docs/BENCHMARKS.md) showed XLA lowers the
+        in-program elementwise gather to a scalar loop here exactly as
+        it did in the training augment: einsum is 11x faster at batch
+        32 (0.68 vs 7.3 ms device) and 34x at batch 256, with
+        bit-identical outputs (tests/test_preprocess_jax.py)."""
         import os
-        self.warp = warp or os.environ.get("LSPS_SERVE_WARP", "gather")
+        self.warp = warp or os.environ.get("LSPS_SERVE_WARP", "einsum")
         self.dis = build_model(hyp["dis"])
         self.vae = build_model(hyp["vae"])
         self.camera = camera or Camera.nyu()

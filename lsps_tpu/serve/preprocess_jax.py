@@ -27,6 +27,13 @@ Two warp lowerings, selected by the static ``warp`` argument:
   non-finite input pixels are sanitized to the invalid-depth sentinel
   0 up front, so the einsum full-frame contraction cannot be poisoned
   by a stray NaN/inf the gather path would never read.
+
+``"einsum"`` is the default: the round-3 on-chip A/B
+(scripts/serve_ab.sh) measured the gather lowering inside the fused
+serving program at 7.3 ms device time for a batch-32 call vs 0.68 ms
+for einsum (11x), growing to 34x at batch 256 — the same scalar-loop
+degradation the training augment hit.  Per-image cost-model traffic
+drops from ~87 MB to ~11 MB.  Outputs are bit-identical either way.
 """
 
 from __future__ import annotations
@@ -78,7 +85,7 @@ def crop_transform(com, size, fx, fy, dsize=(128, 128)):
 @functools.partial(jax.jit, static_argnames=("dsize", "fx", "fy", "warp"))
 def crop_normalize(dpt, com, cube, fx: float, fy: float,
                    dsize: Tuple[int, int] = (128, 128),
-                   warp: str = "gather"):
+                   warp: str = "einsum"):
     """Full fused preprocess for one frame.
 
     dpt: (H, W) depth in mm; com: (3,) (u, v, z); cube: (3,) mm.
@@ -140,7 +147,7 @@ def crop_normalize(dpt, com, cube, fx: float, fy: float,
 
 
 def crop_normalize_batch(frames, coms, cubes, fx, fy,
-                         dsize=(128, 128), warp: str = "gather"):
+                         dsize=(128, 128), warp: str = "einsum"):
     """Batched ``crop_normalize`` (vmapped over frames/coms/cubes)."""
     fn = functools.partial(crop_normalize, fx=fx, fy=fy, dsize=dsize,
                            warp=warp)
