@@ -27,6 +27,14 @@ Endpoints:
 Threading: BaseHTTPRequestHandler in ThreadingHTTPServer; the estimator
 call itself is serialized with a lock (one XLA program in flight — the
 TPU is already pipelined internally).
+
+``--batch-window-ms W`` enables **dynamic micro-batching**: concurrent
+requests coalesce (same frame shape, same path) into ONE estimator call
+padded to a power-of-two bucket, then the result slices scatter back —
+see ``MicroBatcher``.  The measured throughput curve is steeply
+batch-favored (~1.1k img/s at batch 1 vs ~55k at batch 256,
+docs/BENCHMARKS.md), so under concurrent load this multiplies served
+throughput by an order of magnitude at W of a few ms.
 """
 
 from __future__ import annotations
@@ -34,8 +42,10 @@ from __future__ import annotations
 import argparse
 import io
 import json
+import queue
 import sys
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -95,21 +105,183 @@ def build_estimator(config_path: str, frac: float = 0.0, est: bool = False,
                          camera=camera, dtype=dtype)
 
 
+class _Pending:
+    """One in-flight request inside the micro-batcher."""
+
+    __slots__ = ("frames", "coms", "cubes", "event", "joints", "detected",
+                 "error")
+
+    def __init__(self, frames, coms, cubes):
+        self.frames, self.coms, self.cubes = frames, coms, cubes
+        self.event = threading.Event()
+        self.joints = self.detected = self.error = None
+
+
+def _bucket(n: int) -> int:
+    """Next power-of-two >= n: bounds live-jit recompiles to log2
+    distinct batch shapes under arbitrary coalesced batch sizes."""
+    b = 1
+    while b < n:
+        b <<= 1
+    return b
+
+
+class MicroBatcher:
+    """Dynamic request coalescing for the serving daemon.
+
+    The measured serving-throughput curve is steeply batch-favored
+    (docs/BENCHMARKS.md: ~1.1k img/s at batch 1 vs ~55k img/s at batch
+    256 with the einsum crop warp), so under concurrent load the
+    winning dispatch is ONE program over many requests' frames, not one
+    program per request.  The reference has no serving story at all
+    (SURVEY.md §3.4); this is the TPU-native deployment counterpart.
+
+    A dispatcher thread takes the first pending request, keeps
+    collecting for up to ``window_ms`` (or until ``max_batch`` frames),
+    groups compatible requests — same (H, W) and same path (with-CoM vs
+    raw detection) — concatenates each group along batch, pads to the
+    next power-of-two bucket (so a live-jit estimator compiles at most
+    log2 shapes; AOT symbolic-batch artifacts don't need it but are
+    unharmed), runs it as one estimator call, and scatters the per-item
+    slices back to the waiting handler threads.
+
+    ``window_ms=0`` still coalesces whatever is already queued while
+    the previous program runs (zero added latency); any positive window
+    trades that much latency for larger batches."""
+
+    def __init__(self, run_group, window_ms: float = 2.0,
+                 max_batch: int = 64):
+        self._run_group = run_group   # (frames, coms|None, cubes) -> ...
+        self.window = window_ms / 1e3
+        self.max_batch = int(max_batch)
+        self._q: "queue.Queue[_Pending]" = queue.Queue()
+        self._stop = False
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="lsps-microbatch")
+        self._thread.start()
+
+    def submit(self, frames, coms, cubes, timeout: float = 300.0):
+        """Enqueue one (validated) request and wait for its slice of
+        the coalesced result.  Returns ``(joints, detected|None)``."""
+        item = _Pending(frames, coms, cubes)
+        self._q.put(item)
+        if not item.event.wait(timeout):
+            raise RuntimeError("micro-batch dispatch timed out")
+        if item.error is not None:
+            raise item.error
+        return item.joints, item.detected
+
+    def close(self):
+        self._stop = True
+        self._thread.join(timeout=5.0)
+
+    # dispatcher internals ------------------------------------------------
+    def _collect(self):
+        try:
+            first = self._q.get(timeout=0.2)
+        except queue.Empty:
+            return []
+        batch, n = [first], first.frames.shape[0]
+        deadline = time.monotonic() + self.window
+        while n < self.max_batch:
+            remaining = deadline - time.monotonic()
+            try:
+                # remaining <= 0 still drains anything already queued
+                item = (self._q.get_nowait() if remaining <= 0
+                        else self._q.get(timeout=remaining))
+            except queue.Empty:
+                break
+            batch.append(item)
+            n += item.frames.shape[0]
+        return batch
+
+    def _loop(self):
+        while not self._stop:
+            batch = self._collect()
+            if not batch:
+                continue
+            groups = {}
+            for item in batch:
+                key = (item.frames.shape[1:], item.coms is None)
+                groups.setdefault(key, []).append(item)
+            for items in groups.values():
+                try:
+                    self._dispatch(items)
+                except Exception as e:  # propagate to every waiter
+                    for it in items:
+                        it.error = e
+                finally:
+                    for it in items:
+                        it.event.set()
+
+    def _dispatch(self, items):
+        frames = np.concatenate([it.frames for it in items])
+        cubes = np.concatenate([it.cubes for it in items])
+        coms = (None if items[0].coms is None
+                else np.concatenate([it.coms for it in items]))
+        n = frames.shape[0]
+        pad = (_bucket(n) - n) if n else 0
+        if pad:  # repeat the last frame; results are trimmed below
+            frames = np.concatenate([frames, np.repeat(frames[-1:], pad, 0)])
+            cubes = np.concatenate([cubes, np.repeat(cubes[-1:], pad, 0)])
+            if coms is not None:
+                coms = np.concatenate([coms, np.repeat(coms[-1:], pad, 0)])
+        joints, detected = self._run_group(frames, coms, cubes)
+        off = 0
+        for it in items:
+            k = it.frames.shape[0]
+            it.joints = joints[off:off + k]
+            if detected is not None:
+                it.detected = detected[off:off + k]
+            off += k
+
+
 class PoseServer:
     """Holds the estimator + request counters; builds the handler.
 
     ``estimator`` is anything with ``predict_frames`` — a live
     ``PoseEstimator`` (jit) or an ``ArtifactPoseEstimator`` (AOT
     StableHLO artifact: novel batch sizes never trigger an XLA compile
-    under the request lock)."""
+    under the request lock).
 
-    def __init__(self, estimator):
+    ``batch_window_ms`` (not None) enables dynamic micro-batching:
+    concurrent requests coalesce into one padded-to-bucket estimator
+    call (see ``MicroBatcher``; 0 = coalesce only what is already
+    queued); ``max_batch`` caps the coalesced frame count."""
+
+    def __init__(self, estimator, batch_window_ms: float = None,
+                 max_batch: int = 64):
         self.est = estimator
         self.lock = threading.Lock()
         self.batches = 0
         nj = getattr(estimator, "n_joints", None)
         self.n_joints = (int(nj) if nj is not None
                          else estimator.vae.input_dim // 3)
+        self.batcher = (MicroBatcher(self._run_group, batch_window_ms,
+                                     max_batch)
+                        if batch_window_ms is not None else None)
+
+    def _run_group(self, frames, coms, cubes):
+        """One locked estimator call (either path) + raw-path
+        post-processing.  The single entry point for both the direct
+        path and the micro-batcher."""
+        if coms is None:
+            with self.lock:
+                joints, det_coms = self.est.predict_raw(frames, cubes,
+                                                        return_coms=True)
+                self.batches += 1
+            # detect_jax returns a zero CoM when no depth slice
+            # qualifies; the downstream crop divides by com_z, so those
+            # joints are NaN/degenerate.  Flag them and zero the joints
+            # (json.dumps would otherwise emit literal NaN — invalid
+            # strict JSON).
+            detected = np.asarray(det_coms)[:, 2] > 0
+            joints = np.where(detected[:, None, None], joints, 0.0)
+            return joints, detected
+        with self.lock:
+            joints = self.est.predict_frames(frames, coms, cubes)
+            self.batches += 1
+        return np.asarray(joints), None
 
     def predict(self, frames, coms, cubes):
         """``coms=None`` selects the raw path: the CoM is DETECTED on
@@ -131,32 +303,20 @@ class PoseServer:
             raise ValueError(f"cubes {cubes.shape}: want "
                              f"({frames.shape[0]}, 3)")
         if coms is None:
-            raw = getattr(self.est, "predict_raw", None)
-            if raw is None:
+            if getattr(self.est, "predict_raw", None) is None:
                 raise ValueError(
                     "this estimator has no on-device detection "
                     "(AOT artifacts bake the with-CoM program); "
                     "supply 'coms'")
-            with self.lock:
-                joints, det_coms = raw(frames, cubes, return_coms=True)
-                self.batches += 1
-            # detect_jax returns a zero CoM when no depth slice
-            # qualifies; the downstream crop divides by com_z, so those
-            # joints are NaN/degenerate.  Flag them and zero the joints
-            # (json.dumps would otherwise emit literal NaN — invalid
-            # strict JSON).
-            detected = det_coms[:, 2] > 0
-            joints = np.where(detected[:, None, None], joints, 0.0)
-            return joints, detected
-        coms = np.asarray(coms, np.float32)
-        if coms.shape != (frames.shape[0], 3):
-            raise ValueError(
-                f"shapes: frames {frames.shape} (want B,H,W), coms "
-                f"{coms.shape} (want B,3)")
-        with self.lock:
-            joints = self.est.predict_frames(frames, coms, cubes)
-            self.batches += 1
-        return joints, None
+        else:
+            coms = np.asarray(coms, np.float32)
+            if coms.shape != (frames.shape[0], 3):
+                raise ValueError(
+                    f"shapes: frames {frames.shape} (want B,H,W), coms "
+                    f"{coms.shape} (want B,3)")
+        if self.batcher is not None:
+            return self.batcher.submit(frames, coms, cubes)
+        return self._run_group(frames, coms, cubes)
 
     def handler(self):
         server = self
@@ -180,7 +340,8 @@ class PoseServer:
                     return self._send(404, b'{"error": "not found"}')
                 self._send(200, json.dumps(
                     {"ok": True, "joints": server.n_joints,
-                     "batches": server.batches}).encode())
+                     "batches": server.batches,
+                     "microbatch": server.batcher is not None}).encode())
 
             def do_POST(self):
                 try:
@@ -230,11 +391,16 @@ class PoseServer:
         return Handler
 
 
-def serve_forever(estimator, port: int = 8642, host: str = "127.0.0.1"):
-    ps = PoseServer(estimator)
+def serve_forever(estimator, port: int = 8642, host: str = "127.0.0.1",
+                  batch_window_ms: float = None, max_batch: int = 64):
+    ps = PoseServer(estimator, batch_window_ms=batch_window_ms,
+                    max_batch=max_batch)
     httpd = ThreadingHTTPServer((host, port), ps.handler())
     ps.httpd = httpd
-    print(f"serving on http://{host}:{port}", file=sys.stderr)
+    extra = (f" (micro-batching: window {batch_window_ms} ms, "
+             f"max {max_batch} frames)" if batch_window_ms is not None
+             else "")
+    print(f"serving on http://{host}:{port}{extra}", file=sys.stderr)
     httpd.serve_forever()
 
 
@@ -259,6 +425,15 @@ def main(argv=None):
     p.add_argument("--allow-missing-vae", action="store_true",
                    help="serve even if no VAE checkpoint matches "
                         "(predictions will be garbage; debug only)")
+    p.add_argument("--batch-window-ms", type=float, default=None,
+                   help="enable dynamic micro-batching: coalesce "
+                        "concurrent requests for up to this many ms "
+                        "into one padded-to-bucket program call "
+                        "(0 = only what is already queued; the "
+                        "throughput curve is steeply batch-favored — "
+                        "docs/BENCHMARKS.md)")
+    p.add_argument("--max-batch", type=int, default=64,
+                   help="micro-batching: max coalesced frames per call")
     opts = p.parse_args(argv)
     if opts.artifact:
         from lsps_tpu.serve.export import ArtifactPoseEstimator
@@ -273,7 +448,9 @@ def main(argv=None):
                               allow_missing_vae=opts.allow_missing_vae)
     else:
         p.error("one of --config or --artifact is required")
-    serve_forever(est, port=opts.port, host=opts.host)
+    serve_forever(est, port=opts.port, host=opts.host,
+                  batch_window_ms=opts.batch_window_ms,
+                  max_batch=opts.max_batch)
 
 
 if __name__ == "__main__":
