@@ -23,12 +23,15 @@ Uses the /predict_npz binary endpoint (the JSON float round-trip of a
 import argparse
 import io
 import json
+import os
 import sys
 import threading
 import time
 import urllib.request
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _mk_estimator(small: bool = False):
