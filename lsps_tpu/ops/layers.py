@@ -162,7 +162,9 @@ def linear(n_in: int, n_out: int, bias: bool = True, w_init=None,
         return p
 
     def apply(params, x, rng=None, train=False):
-        y = jnp.dot(x, params["w"], preferred_element_type=jnp.float32)
+        y = jnp.dot(x, params["w"],
+                    preferred_element_type=jnp.promote_types(x.dtype,
+                                                             jnp.float32))
         if bias:
             y = y + params["b"]
         return y
@@ -179,7 +181,7 @@ def instance_norm(x, eps: float = 1e-5):
     over H, W with biased variance (torch parity).  Moments accumulate
     in f32 even under bf16 compute (a bf16 mean over 16k pixels is
     unusable); output returns to the input dtype."""
-    xf = x.astype(jnp.float32)
+    xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
     mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
     return ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
@@ -535,7 +537,7 @@ def batch_norm_layer(n_out: int, affine: bool = True,
 
     def apply(params, x, rng=None, train=False):
         axes = tuple(range(x.ndim - 1))
-        xf = x.astype(jnp.float32)
+        xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
         mean = jnp.mean(xf, axis=axes, keepdims=True)
         var = jnp.mean(jnp.square(xf - mean), axis=axes, keepdims=True)
         y = (xf - mean) * jax.lax.rsqrt(var + eps)

@@ -73,8 +73,10 @@ def _act_grad(g, xhat, slope):
 
 def _jnp_fwd(x, slope):
     # moments in f32 (bf16 accumulation over H*W pixels is unusable);
-    # xhat/rstd residuals stay f32 for the backward, y returns to x.dtype
-    xf = x.astype(jnp.float32)
+    # xhat/rstd residuals stay f32 for the backward, y returns to x.dtype.
+    # promote_types keeps f64 inputs in f64 (the float64 oracle-parity
+    # path; the Pallas kernels are f32-moment and TPU-only).
+    xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
     mean = jnp.mean(xf, axis=1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=1, keepdims=True)
     rstd = jax.lax.rsqrt(var + EPS)

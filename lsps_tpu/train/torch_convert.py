@@ -74,7 +74,12 @@ def convert_state_dict(state_dict: Dict[str, Any], template) -> Any:
             raise ValueError(
                 f"shape mismatch at {name}: torch {t.shape} vs template "
                 f"{tgt_shape}")
-        leaves.append(jnp.asarray(t, jnp.asarray(leaf).dtype))
+        # jnp.array (copy=True): on CPU, jnp.asarray can ZERO-COPY the
+        # torch tensor's numpy view, silently aliasing our params to
+        # torch's storage — a later in-place torch optimizer step would
+        # mutate the converted pytree (caught by the reference-oracle
+        # parity tests, tests/test_reference_oracle_parity.py).
+        leaves.append(jnp.array(t, jnp.asarray(leaf).dtype))
     if missing:
         print(f"torch_convert: {len(missing)} leaves kept from template "
               f"(first: {missing[:3]})")
