@@ -109,12 +109,13 @@ class _Pending:
     """One in-flight request inside the micro-batcher."""
 
     __slots__ = ("frames", "coms", "cubes", "event", "joints", "detected",
-                 "error")
+                 "error", "abandoned")
 
     def __init__(self, frames, coms, cubes):
         self.frames, self.coms, self.cubes = frames, coms, cubes
         self.event = threading.Event()
         self.joints = self.detected = self.error = None
+        self.abandoned = False  # submit() timed out; drop, don't compute
 
 
 def _bucket(n: int) -> int:
@@ -147,7 +148,19 @@ class MicroBatcher:
 
     ``window_ms=0`` still coalesces whatever is already queued while
     the previous program runs (zero added latency); any positive window
-    trades that much latency for larger batches."""
+    trades that much latency for larger batches.
+
+    ``max_batch`` is a HARD cap on the dispatched batch: _collect stops
+    before an item that would push past it (the item leads the next
+    round), and an oversize single request is chunked to
+    ``_bucket(max_batch)``-frame programs — so the estimator never sees
+    a batch (or pad bucket) above the operator-set bound, and a live-jit
+    estimator never compiles an unplanned shape above it.
+
+    Shared fate: all requests coalesced into one group share its
+    estimator call, so one fault would fail innocent neighbors — after
+    a group failure each item is retried individually once, and only
+    per-item failures surface to their own callers."""
 
     def __init__(self, run_group, window_ms: float = 2.0,
                  max_batch: int = 64):
@@ -155,6 +168,7 @@ class MicroBatcher:
         self.window = window_ms / 1e3
         self.max_batch = int(max_batch)
         self._q: "queue.Queue[_Pending]" = queue.Queue()
+        self._carry: "_Pending | None" = None  # overflow from _collect
         self._stop = False
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="lsps-microbatch")
@@ -166,6 +180,9 @@ class MicroBatcher:
         item = _Pending(frames, coms, cubes)
         self._q.put(item)
         if not item.event.wait(timeout):
+            # flag it so the dispatcher drops instead of computing a
+            # result nobody is waiting for
+            item.abandoned = True
             raise RuntimeError("micro-batch dispatch timed out")
         if item.error is not None:
             raise item.error
@@ -177,10 +194,13 @@ class MicroBatcher:
 
     # dispatcher internals ------------------------------------------------
     def _collect(self):
-        try:
-            first = self._q.get(timeout=0.2)
-        except queue.Empty:
-            return []
+        if self._carry is not None:
+            first, self._carry = self._carry, None
+        else:
+            try:
+                first = self._q.get(timeout=0.2)
+            except queue.Empty:
+                return []
         batch, n = [first], first.frames.shape[0]
         deadline = time.monotonic() + self.window
         while n < self.max_batch:
@@ -191,25 +211,48 @@ class MicroBatcher:
                         else self._q.get(timeout=remaining))
             except queue.Empty:
                 break
+            if n + item.frames.shape[0] > self.max_batch:
+                # hard cap: this item leads the NEXT dispatch round
+                # instead of overshooting the operator-set bound
+                self._carry = item
+                break
             batch.append(item)
             n += item.frames.shape[0]
         return batch
 
     def _loop(self):
         while not self._stop:
-            batch = self._collect()
-            if not batch:
-                continue
+            self._round()
+
+    def _round(self):
+        """One collect->group->dispatch cycle (the _loop body; separate
+        so tests can drive it deterministically)."""
+        batch = self._collect()
+        # timed-out submitters are gone; don't compute for them
+        batch = [it for it in batch if not it.abandoned]
+        if batch:
             groups = {}
             for item in batch:
-                key = (item.frames.shape[1:], item.coms is None)
+                # dtype is part of the key: uint16 and f32 frames are
+                # different programs and cannot concatenate
+                key = (item.frames.shape[1:], item.frames.dtype.str,
+                       item.coms is None)
                 groups.setdefault(key, []).append(item)
             for items in groups.values():
                 try:
                     self._dispatch(items)
-                except Exception as e:  # propagate to every waiter
+                except Exception:
+                    # shared fate would fail innocent neighbors for one
+                    # bad batch — retry each item individually once, so
+                    # only genuinely-failing requests see an error
                     for it in items:
-                        it.error = e
+                        try:
+                            self._dispatch([it])
+                        except Exception as e:
+                            # fresh instance per waiter: concurrent
+                            # re-raises from handler threads would
+                            # garble a shared __traceback__
+                            it.error = e
                 finally:
                     for it in items:
                         it.event.set()
@@ -220,13 +263,27 @@ class MicroBatcher:
         coms = (None if items[0].coms is None
                 else np.concatenate([it.coms for it in items]))
         n = frames.shape[0]
-        pad = (_bucket(n) - n) if n else 0
-        if pad:  # repeat the last frame; results are trimmed below
-            frames = np.concatenate([frames, np.repeat(frames[-1:], pad, 0)])
-            cubes = np.concatenate([cubes, np.repeat(cubes[-1:], pad, 0)])
-            if coms is not None:
-                coms = np.concatenate([coms, np.repeat(coms[-1:], pad, 0)])
-        joints, detected = self._run_group(frames, coms, cubes)
+        # a single oversize request can exceed max_batch: run it as
+        # cap-sized chunks so the pad bucket never tops _bucket(cap)
+        cap = _bucket(self.max_batch)
+        js, ds = [], []
+        for s in range(0, n, cap):
+            f = frames[s:s + cap]
+            c = cubes[s:s + cap]
+            m = None if coms is None else coms[s:s + cap]
+            pad = _bucket(f.shape[0]) - f.shape[0]
+            if pad:  # repeat the last frame; results are trimmed below
+                f = np.concatenate([f, np.repeat(f[-1:], pad, 0)])
+                c = np.concatenate([c, np.repeat(c[-1:], pad, 0)])
+                if m is not None:
+                    m = np.concatenate([m, np.repeat(m[-1:], pad, 0)])
+            j, d = self._run_group(f, m, c)
+            js.append(j[:min(cap, n - s)])
+            if d is not None:
+                ds.append(d[:min(cap, n - s)])
+        joints = js[0] if len(js) == 1 else np.concatenate(js)
+        detected = (None if not ds
+                    else (ds[0] if len(ds) == 1 else np.concatenate(ds)))
         off = 0
         for it in items:
             k = it.frames.shape[0]
@@ -292,8 +349,11 @@ class PoseServer:
         array on the raw path (False = no qualifying depth slice; those
         frames' joints are zeroed so responses stay finite/valid JSON)
         and ``None`` on the with-CoM path.  ``cubes`` defaults to 300 mm
-        on both paths."""
-        frames = np.asarray(frames, np.float32)
+        on both paths.  uint16 frames (native sensor millimetres) pass
+        through to the estimator natively — half the ingest bytes."""
+        frames = np.asarray(frames)
+        if frames.dtype != np.uint16:
+            frames = np.asarray(frames, np.float32)
         if frames.ndim != 3:
             raise ValueError(f"frames {frames.shape}: want (B, H, W)")
         if cubes is None:

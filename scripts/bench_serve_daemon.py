@@ -65,6 +65,14 @@ def _frame():
     return frame, com, cube
 
 
+def _bucket(n: int) -> int:
+    """Next power-of-two >= n (mirrors serve.server._bucket)."""
+    b = 1
+    while b < n:
+        b <<= 1
+    return b
+
+
 def _serve(est, window_ms, max_batch):
     from http.server import ThreadingHTTPServer
 
@@ -78,8 +86,10 @@ def _serve(est, window_ms, max_batch):
 
 
 def _run_clients(url, body, n_clients, n_requests):
-    """n_clients threads, n_requests posts each; returns (wall_s, errs)."""
+    """n_clients threads, n_requests posts each; returns
+    (wall_s, errs, per-request latencies in seconds)."""
     errs = [0] * n_clients
+    lats = [[] for _ in range(n_clients)]
     barrier = threading.Barrier(n_clients + 1)
 
     def client(ci):
@@ -87,9 +97,11 @@ def _run_clients(url, body, n_clients, n_requests):
         for _ in range(n_requests):
             req = urllib.request.Request(url + "/predict_npz", data=body,
                                          method="POST")
+            t0 = time.perf_counter()
             try:
                 with urllib.request.urlopen(req, timeout=600) as r:
                     r.read()
+                lats[ci].append(time.perf_counter() - t0)
             except Exception:
                 errs[ci] += 1
 
@@ -101,7 +113,15 @@ def _run_clients(url, body, n_clients, n_requests):
     t0 = time.perf_counter()
     for t in ts:
         t.join()
-    return time.perf_counter() - t0, sum(errs)
+    return (time.perf_counter() - t0, sum(errs),
+            [x for per in lats for x in per])
+
+
+def _pct(sorted_lats, q):
+    if not sorted_lats:
+        return float("nan")
+    i = min(len(sorted_lats) - 1, int(round(q * (len(sorted_lats) - 1))))
+    return sorted_lats[i]
 
 
 def main(argv=None):
@@ -126,21 +146,37 @@ def main(argv=None):
     for window in (None, opts.window_ms):
         ps, httpd, url = _serve(est, window, opts.max_batch)
         mode = "plain" if window is None else f"microbatch_{window}ms"
-        # warm: compile the b1 program, then (batched arm) a burst at
-        # the highest concurrency so the power-of-two bucket programs
-        # compile BEFORE the measured runs
+        # warm: compile the b1 program, then (batched arm) EVERY
+        # power-of-two bucket the measured concurrency levels can
+        # coalesce into, so no XLA compile lands inside a measured run
         _run_clients(url, body, 1, 3)
         if window is not None:
-            _run_clients(url, body, max(clients), 4)
+            # a k-frame request dispatches a padded _bucket(k) batch
+            # deterministically (concurrent 1-frame warmups might not
+            # coalesce into the intended bucket)
+            b = 2
+            while b <= min(_bucket(max(clients)), opts.max_batch):
+                buf = io.BytesIO()
+                np.savez(buf, frames=np.repeat(frame[None], b, 0),
+                         coms=np.repeat(com[None], b, 0),
+                         cubes=np.repeat(cube[None], b, 0))
+                _run_clients(url, buf.getvalue(), 1, 1)
+                b <<= 1
         for n in clients:
-            wall, errs = _run_clients(url, body, n, opts.requests)
+            calls0 = ps.batches
+            wall, errs, lats = _run_clients(url, body, n, opts.requests)
             total = n * opts.requests
+            lats.sort()
             results.append({
                 "mode": mode, "clients": n, "requests": total,
                 "wall_s": round(wall, 3),
                 "req_per_s": round(total / wall, 1),
                 "ms_per_req": round(wall / total * 1e3, 3),
-                "estimator_calls": ps.batches, "errors": errs,
+                "p50_ms": round(_pct(lats, 0.50) * 1e3, 3),
+                "p95_ms": round(_pct(lats, 0.95) * 1e3, 3),
+                "p99_ms": round(_pct(lats, 0.99) * 1e3, 3),
+                # calls made DURING this run (ps.batches is cumulative)
+                "estimator_calls": ps.batches - calls0, "errors": errs,
             })
             print(json.dumps(results[-1]), flush=True)
         httpd.shutdown()

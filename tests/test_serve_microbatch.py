@@ -300,3 +300,103 @@ def test_http_equivalence_com_and_raw(real_servers):
     with urllib.request.urlopen(batched + "/healthz") as r:
         h = json.load(r)
     assert h["microbatch"] is True and h["ok"] is True
+
+
+# ---------------------------------------------------------------------------
+# round-4 hardening: hard max_batch cap, oversize chunking, abandoned
+# requests, and per-item retry after a group failure (ADVICE round 3)
+# ---------------------------------------------------------------------------
+
+def _stopped_batcher(run_group, max_batch):
+    """A MicroBatcher whose dispatcher thread is parked, so tests drive
+    _collect/_round deterministically."""
+    b = MicroBatcher(run_group, window_ms=0.0, max_batch=max_batch)
+    b._stop = True
+    b._thread.join(timeout=5.0)
+    b._stop = False  # _round() runs manually; thread stays dead
+    return b
+
+
+def _pending(n, fill=0.0, coms=True):
+    from lsps_tpu.serve.server import _Pending
+
+    return _Pending(np.full((n, 8, 8), fill, np.float32),
+                    np.tile(np.array([[fill, 0, 700]], np.float32),
+                            (n, 1)) if coms else None,
+                    np.full((n, 3), 300.0, np.float32))
+
+
+def test_collect_hard_cap_carries_overflow():
+    """An item that would push the coalesced count past max_batch must
+    NOT join the batch — it leads the next round instead (ADVICE:
+    overshoot padded two 40-frame requests to a 128 batch)."""
+    est = _StubEstimator()
+    b = _stopped_batcher(
+        lambda f, c, k: (est.predict_frames(f, c, k), None), max_batch=4)
+    i3, i2 = _pending(3, 1.0), _pending(2, 2.0)
+    b._q.put(i3)
+    b._q.put(i2)
+    got = b._collect()
+    assert got == [i3] and b._carry is i2
+    got2 = b._collect()
+    assert got2 == [i2] and b._carry is None
+
+
+def test_oversize_request_chunks_to_cap():
+    """A single request larger than max_batch dispatches as
+    bucket(max_batch)-sized programs, never one giant padded batch."""
+    est = _StubEstimator()
+    b = _stopped_batcher(
+        lambda f, c, k: (est.predict_frames(f, c, k), None), max_batch=4)
+    item = _pending(10)
+    item.frames[:, 0, 0] = np.arange(10)  # make slices identifiable
+    b._dispatch([item])
+    assert est.calls == [4, 4, 2]  # 10 -> 4+4+2 (last pads to bucket 2)
+    assert item.joints.shape == (10, 4, 3)
+    np.testing.assert_allclose(item.joints[:, 0, 0],
+                               item.frames.reshape(10, -1).mean(axis=1),
+                               rtol=1e-6)
+
+
+def test_abandoned_items_are_dropped():
+    """A submit() that timed out must not consume estimator work."""
+    est = _StubEstimator()
+    b = _stopped_batcher(
+        lambda f, c, k: (est.predict_frames(f, c, k), None), max_batch=8)
+    dead, live = _pending(1, 1.0), _pending(1, 2.0)
+    dead.abandoned = True
+    b._q.put(dead)
+    b._q.put(live)
+    b._round()
+    assert est.calls == [1]           # only the live item ran
+    assert live.event.is_set() and live.joints is not None
+    assert dead.joints is None
+
+
+def test_group_failure_retries_items_individually():
+    """One poison request must not fail innocent coalesced neighbors:
+    after the group call raises, items retry alone and only the poison
+    one errors — with a distinct exception instance per waiter."""
+    calls = []
+
+    def run_group(frames, coms, cubes):
+        calls.append(frames.shape[0])
+        if (frames == 666.0).any():
+            raise RuntimeError("poison frame")
+        out = np.zeros((frames.shape[0], 4, 3), np.float32)
+        out[:, 0, 0] = frames.reshape(frames.shape[0], -1).mean(axis=1)
+        return out, None
+
+    b = _stopped_batcher(run_group, max_batch=8)
+    good1, bad, good2 = _pending(1, 1.0), _pending(1, 666.0), _pending(1, 2.0)
+    for it in (good1, bad, good2):
+        b._q.put(it)
+    b._round()
+    # group of 3 (padded to 4) failed, then three individual retries
+    assert calls == [4, 1, 1, 1]
+    assert good1.error is None and good2.error is None
+    np.testing.assert_allclose(good1.joints[0, 0, 0], 1.0, rtol=1e-6)
+    np.testing.assert_allclose(good2.joints[0, 0, 0], 2.0, rtol=1e-6)
+    assert isinstance(bad.error, RuntimeError)
+    for it in (good1, bad, good2):
+        assert it.event.is_set()
