@@ -40,7 +40,8 @@ MAGIC = b"LSPSEXP1"  # file header: format/version tag
 def export_pose_program(est, batch: Optional[int] = 1,
                         frame_shape: Tuple[int, int] = (480, 640),
                         platforms: Optional[Sequence[str]] = None,
-                        raw: bool = False):
+                        raw: bool = False,
+                        frame_dtype=jnp.float32):
     """Export ``est`` (a ``serve.inference.PoseEstimator``) as one AOT
     program ``(frames, coms, cubes) -> joints`` — or, with ``raw=True``,
     ``(frames, cubes) -> (joints, coms)`` with the CoM DETECTION baked
@@ -51,6 +52,12 @@ def export_pose_program(est, batch: Optional[int] = 1,
     frame_shape: (H, W) of the raw depth frames.
     platforms: lowering targets, e.g. ("tpu",) or ("tpu", "cpu");
         default = the current default backend.
+    frame_dtype: dtype of the frames input baked into the artifact.
+        ``jnp.uint16`` accepts native sensor millimetre frames and
+        converts on device — half the host->device bytes of the
+        dominant 480x640 frame plane (the serve program is HBM-bound,
+        docs/BENCHMARKS.md); the program's math is unchanged (frames
+        are whole millimetres, exactly representable either way).
     Returns a ``jax.export.Exported``.
     """
     if getattr(est, "mesh", None) is not None:
@@ -74,12 +81,12 @@ def export_pose_program(est, batch: Optional[int] = 1,
     h, w = frame_shape
     if raw:
         args = (
-            jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, w), frame_dtype),
             jax.ShapeDtypeStruct((b, 3), jnp.float32),
         )
     else:
         args = (
-            jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, w), frame_dtype),
             jax.ShapeDtypeStruct((b, 3), jnp.float32),
             jax.ShapeDtypeStruct((b, 3), jnp.float32),
         )
@@ -116,7 +123,10 @@ def load_pose_program(path: str):
             raise ValueError(
                 f"artifact takes {len(exported.in_avals)} arrays, "
                 f"got {len(args)}")
-        out = exported.call(*(jnp.asarray(a, jnp.float32) for a in args))
+        # cast each operand to its baked dtype (a uint16-frames
+        # artifact wants native millimetre frames, not f32)
+        out = exported.call(*(jnp.asarray(a, av.dtype)
+                              for a, av in zip(args, exported.in_avals)))
         return jax.tree_util.tree_map(np.asarray, out)
 
     call.exported = exported
@@ -139,6 +149,7 @@ class ArtifactPoseEstimator:
         b = in_aval.shape[0]
         self.bucket: Optional[int] = b if isinstance(b, int) else None
         self.frame_shape = tuple(int(s) for s in in_aval.shape[1:])
+        self.frame_dtype = np.dtype(in_aval.dtype)  # f32 or uint16 mm
         out_aval = jax.tree_util.tree_leaves(exported.out_avals)[0]
         self.n_joints = int(out_aval.shape[1])
         # arity 2 = raw-detection program (frames, cubes) -> (joints,
@@ -174,7 +185,7 @@ class ArtifactPoseEstimator:
             raise ValueError(
                 "this artifact bakes the raw-detection program "
                 "(frames, cubes); use predict_raw / omit 'coms'")
-        frames = np.asarray(frames, np.float32)
+        frames = np.asarray(frames, self.frame_dtype)
         coms = np.asarray(coms, np.float32)
         cubes = np.asarray(cubes, np.float32)
         self._check_frames(frames)
@@ -186,7 +197,7 @@ class ArtifactPoseEstimator:
         return np.concatenate(self._bucketed((frames, coms, cubes), n), 0)
 
     def _predict_raw(self, frames, cubes=None, return_coms: bool = False):
-        frames = np.asarray(frames, np.float32)
+        frames = np.asarray(frames, self.frame_dtype)
         if cubes is None:
             cubes = np.full((frames.shape[0], 3), 300.0, np.float32)
         cubes = np.asarray(cubes, np.float32)

@@ -76,7 +76,14 @@ class PoseEstimator:
             return self.vae.decode(params["vae"], post.astype(jnp.float32))
 
         def _frames_to_pose(params, frames, coms, cubes):
-            """Raw frames + CoMs -> metric 3D joints, fully on device."""
+            """Raw frames + CoMs -> metric 3D joints, fully on device.
+
+            ``frames`` may be uint16 millimetre depth (native sensor
+            format): the f32 conversion happens HERE, on device, so the
+            host->device transfer and the program's dominant HBM read
+            of the 480x640 frame plane move half the bytes (the serve
+            program is HBM-bound at full batch, docs/BENCHMARKS.md)."""
+            frames = frames.astype(jnp.float32)
             crops, _ = crop_normalize_batch(frames, coms, cubes,
                                             self.camera.fx, self.camera.fy,
                                             warp=self.warp)
@@ -92,6 +99,7 @@ class PoseEstimator:
             handdetector.detect at SURVEY §3.4 made device-resident)."""
             from lsps_tpu.serve.detect_jax import device_detect_batch
 
+            frames = frames.astype(jnp.float32)  # uint16 mm ok, see above
             coms = device_detect_batch(frames, cubes, self.camera.fx,
                                        self.camera.fy)
             return _frames_to_pose(params, frames, coms, cubes), coms
@@ -132,12 +140,23 @@ class PoseEstimator:
         return np.asarray(self._crops_to_pose(self.params,
                                               jnp.asarray(crops)))
 
+    @staticmethod
+    def _frames_host(frames) -> np.ndarray:
+        """uint16 mm frames pass through natively (half the H2D bytes
+        of the dominant frame plane; converted on device), everything
+        else converts to f32 on the host as before."""
+        frames = np.asarray(frames)
+        if frames.dtype == np.uint16:
+            return frames
+        return np.asarray(frames, np.float32)
+
     def predict_frames(self, frames, coms, cubes) -> np.ndarray:
         """Raw (B, H, W) frames + (B, 3) CoMs + (B, 3) cubes ->
-        (B, J, 3) metric joints (mm). One XLA program."""
+        (B, J, 3) metric joints (mm). One XLA program.  ``frames`` may
+        be uint16 millimetre depth (native sensor format)."""
         self._check_batch(np.shape(frames)[0])
         return np.asarray(self._frames_to_pose(
-            self.params, jnp.asarray(frames, jnp.float32),
+            self.params, jnp.asarray(self._frames_host(frames)),
             jnp.asarray(coms, jnp.float32), jnp.asarray(cubes, jnp.float32)))
 
     def predict_frame(self, frame, com, cube) -> np.ndarray:
@@ -150,8 +169,9 @@ class PoseEstimator:
         argument).  ``cubes`` defaults to a 300 mm cube per frame.  A
         frame where detection fails (no qualifying depth slice) returns
         a zero CoM and, consequently, degenerate joints — callers can
-        screen with ``return_coms=True``."""
-        frames = np.asarray(frames, np.float32)
+        screen with ``return_coms=True``.  ``frames`` may be uint16
+        millimetre depth (native sensor format)."""
+        frames = self._frames_host(frames)
         if cubes is None:
             cubes = np.full((frames.shape[0], 3), 300.0, np.float32)
         self._check_batch(frames.shape[0])
