@@ -34,33 +34,12 @@ from lsps_tpu.utils.logging import (MetricsWriter,
 
 MAX_EPOCHS = 100000
 
-# GAN-health advisory: across the measured full-size chains
-# (docs/BENCHMARKS.md "fused-step accuracy A/B"), pretrain runs whose
-# tail dis_fake_acc stayed >= ~0.95 (the generator almost never fools
-# the discriminator) produced latent spaces that opened estimate3 at
-# ~20 mm, while runs ending <= ~0.85 opened at 8.6-14 mm.  The basin is
-# set by the run seed, not the augment backend.
-FAKE_ACC_DOMINANT = 0.92
-
-
-def gan_health_note(acc_tail):
-    """Return an advisory string when pretrain ended discriminator-
-    dominant (mean tail fake acc above FAKE_ACC_DOMINANT), else None.
-    ``acc_tail`` is an iterable of (dis_true_acc, dis_fake_acc) from
-    the last display windows."""
-    accs = list(acc_tail)
-    if not accs:
-        return None
-    fake = sum(a[1] for a in accs) / len(accs)
-    if fake < FAKE_ACC_DOMINANT:
-        return None
-    true = sum(a[0] for a in accs) / len(accs)
-    return (f"NOTE: pretrain ended discriminator-dominant (tail "
-            f"true/fake acc {true:.2f}/{fake:.2f}).  Measured chains in "
-            f"this regime produced weak latent spaces (estimate-mode "
-            f"error ~2x worse, docs/BENCHMARKS.md).  Consider re-running "
-            f"pretrain with a different --seed before the estimate "
-            f"stage.")
+# GAN-basin health lives in train/gan_health.py (advisory + online
+# collapse guard); the constant is re-exported here so operators (and
+# tests) can retune the threshold at the CLI module.
+from lsps_tpu.train.gan_health import (COLLAPSE_CHECK_ITER,  # noqa: E402
+                                       FAKE_ACC_DOMINANT, CollapseGuard,
+                                       gan_health_note, overfit_note)
 
 
 def main(argv=None):
@@ -69,8 +48,38 @@ def main(argv=None):
                         help="pretrain | estimate{0,1,3,4,5}")
     parser.add_argument("--idx", type=int, default=-1,
                         help="pretrain checkpoint index to load")
+    parser.add_argument("--reseed-on-collapse", type=int, default=0,
+                        metavar="N",
+                        help="pretrain only: if the collapse guard "
+                        "detects a discriminator-dominant basin, abort "
+                        "and restart with a fresh seed, up to N times "
+                        "(default 0 = advisory only)")
+    parser.add_argument("--collapse-check-iter", type=int,
+                        default=COLLAPSE_CHECK_ITER,
+                        help="iteration from which the collapse guard "
+                        "may trigger")
     opts = parser.parse_args(argv)
 
+    attempts = max(0, opts.reseed_on_collapse) + 1
+    for attempt in range(attempts):
+        # fresh deterministic seed per attempt (9973 is just a prime
+        # stride; any attempt-distinct fold works)
+        seed = opts.seed + 9973 * attempt
+        if attempt:
+            print(f"collapse guard: restarting pretrain with seed {seed} "
+                  f"(attempt {attempt + 1}/{attempts})")
+        guard = _run(opts, seed, can_reseed=attempt + 1 < attempts)
+        if guard is None:
+            return
+        print(f"collapse guard: pretrain aborted at iteration "
+              f"{guard.triggered_at} (windowed fake acc "
+              f"{guard.triggered_fake:.2f} >= {guard.threshold:.2f})")
+
+
+def _run(opts, seed, can_reseed=False):
+    """One full training run.  Returns None on completion; in pretrain
+    with ``can_reseed`` the run aborts and returns its CollapseGuard as
+    soon as the guard detects the discriminator-dominant basin."""
     estimate = "estimate" in opts.mode
     mode_idx = int(opts.mode[-1]) if estimate else -1
 
@@ -89,7 +98,7 @@ def main(argv=None):
     trainer = C.make_trainer(config,
                              sch_interval=opts.sch_interval
                              or (100 if estimate else 1000))
-    state = trainer.init_state(jax.random.PRNGKey(opts.seed))
+    state = trainer.init_state(jax.random.PRNGKey(seed))
     di_b = dataset_b.di
 
     # optional preemption-safe async full-state checkpointing
@@ -129,9 +138,9 @@ def main(argv=None):
             dataset_b.set_nmax(frac)
 
     loader_a = get_data_loader(dataset_a, batch_size, shuffle=True,
-                               seed=opts.seed)
+                               seed=seed)
     loader_b = get_data_loader(dataset_b, batch_size, shuffle=True,
-                               seed=opts.seed + 1)
+                               seed=seed + 1)
     test_loader = get_data_loader(dataset_test, test_batch_size,
                                   shuffle=False)
 
@@ -242,10 +251,13 @@ def main(argv=None):
 
     print(f"using {frac:.2f} percent of the labeled real data")
     best_err, best_acc = 100.0, 0.0
-    from collections import deque
-
-    acc_tail = deque(maxlen=5)  # (true, fake) accs, gan_health_note
-    rng = jax.random.PRNGKey(opts.seed + 13)
+    # the guard's window doubles as the gan_health_note acc tail; its
+    # abort action is gated on can_reseed at the trigger site below
+    guard = None if estimate else CollapseGuard(
+        threshold=FAKE_ACC_DOMINANT,
+        check_iter=opts.collapse_check_iter)
+    err_history = []  # (iteration, mean mm err) per eval, overfit_note
+    rng = jax.random.PRNGKey(seed + 13)
     start = time.time()
     pending = []
     n_plan = 0
@@ -397,10 +409,23 @@ def main(argv=None):
                                    step_metrics, writer,
                                    time.time() - start)
                         start = time.time()
-                        if "dis_fake_acc" in step_metrics:
-                            acc_tail.append(
-                                (float(step_metrics["dis_true_acc"]),
-                                 float(step_metrics["dis_fake_acc"])))
+                        if (guard is not None
+                                and "dis_fake_acc" in step_metrics
+                                and guard.observe(
+                                    iterations + 1,
+                                    float(step_metrics["dis_true_acc"]),
+                                    float(step_metrics["dis_fake_acc"]))):
+                            msg = (f"collapse guard: discriminator-"
+                                   f"dominant basin detected at "
+                                   f"iteration {iterations + 1} "
+                                   f"(windowed fake acc "
+                                   f"{guard.triggered_fake:.2f})")
+                            if can_reseed:
+                                print(msg)
+                                writer.close()
+                                return guard
+                            print(msg + "; continuing (no "
+                                  "--reseed-on-collapse budget)")
 
                     if (iterations + 1) % config.image_display_iterations \
                             == 0:
@@ -426,6 +451,7 @@ def main(argv=None):
                                 mesh_runner=mesh_runner)
                             best_err = min(best_err, err)
                             best_acc = max(best_acc, acc)
+                            err_history.append((iterations + 1, err))
                             print(f"------------ Mean err: {err:.4f} "
                                   f"({best_err:.4f}) mm, Max over 40mm: "
                                   f"{acc:.2f} ({best_acc:.2f}) %")
@@ -441,11 +467,13 @@ def main(argv=None):
                     iterations += 1
                     if iterations >= max_iterations:
                         writer.close()
-                        if not estimate:
-                            note = gan_health_note(acc_tail)
-                            if note:
-                                print(note)
-                        return
+                        note = (overfit_note(err_history) if estimate
+                                else gan_health_note(
+                                    guard.tail,
+                                    threshold=FAKE_ACC_DOMINANT))
+                        if note:
+                            print(note)
+                        return None
 
 
 def evaluate_estimation(trainer, state, test_loader, di_b, Evaluation,

@@ -1,0 +1,127 @@
+"""Collapse guard (train/gan_health.py): the online discriminator-
+dominance detector and the --reseed-on-collapse CLI action, plus the
+estimate-mode overfit advisory.
+
+The guard turns the round-3 end-of-run advisory into an action: the
+measured 2x2 seed/backend study (docs/BENCHMARKS.md "fused-step
+accuracy A/B") showed the dominant basin is visible in the windowed
+fake accuracy by ~3-4k of 20k iterations, so a doomed pretrain can be
+restarted while ~85% of the schedule is still unspent."""
+
+import io
+from contextlib import redirect_stdout
+
+from helpers import make_synth_cfg
+
+from lsps_tpu.train.gan_health import (CollapseGuard, gan_health_note,
+                                       overfit_note)
+
+
+def _feed(guard, n, fake, start_iter=1):
+    """Feed n display windows of constant accuracy; returns the
+    iteration at which the guard triggered, or None."""
+    for i in range(n):
+        if guard.observe(start_iter + i, 0.7, fake):
+            return start_iter + i
+    return None
+
+
+def test_guard_triggers_after_check_iter_with_full_window():
+    g = CollapseGuard(threshold=0.92, check_iter=10, window=3)
+    # dominant from the start, but gated until check_iter AND 3 windows
+    assert _feed(g, 9, 0.97) is None
+    assert g.observe(10, 0.7, 0.97) is True
+    assert g.triggered_at == 10
+    assert g.triggered_fake >= 0.92
+    # one-shot: never re-triggers
+    assert g.observe(11, 0.7, 0.99) is False
+
+
+def test_guard_stays_silent_on_healthy_run():
+    g = CollapseGuard(threshold=0.92, check_iter=5, window=3)
+    assert _feed(g, 50, 0.80) is None
+    assert g.triggered_at is None
+
+
+def test_guard_window_must_be_dominant_not_a_spike():
+    g = CollapseGuard(threshold=0.92, check_iter=1, window=4)
+    # one 0.99 spike inside an otherwise-healthy window: mean 0.8425
+    for it, fake in enumerate([0.78, 0.99, 0.80, 0.80], start=1):
+        assert g.observe(it, 0.7, fake) is False
+
+
+def test_guard_tail_feeds_end_of_run_note():
+    g = CollapseGuard(threshold=0.92, check_iter=10**9, window=5)
+    _feed(g, 8, 0.97)
+    note = gan_health_note(g.tail, threshold=0.92)
+    assert note is not None and "discriminator-dominant" in note
+    g2 = CollapseGuard(threshold=0.92, check_iter=10**9, window=5)
+    _feed(g2, 8, 0.70)
+    assert gan_health_note(g2.tail, threshold=0.92) is None
+
+
+def test_overfit_note_fires_on_rising_test_error():
+    # the measured estimate3 regime: 16.6 -> 20.8 mm while training
+    hist = [(1000, 16.6), (2000, 17.9), (3000, 19.5), (4000, 20.8)]
+    note = overfit_note(hist)
+    assert note is not None
+    assert "16.60" in note and "20.80" in note
+
+
+def test_overfit_note_silent_cases():
+    assert overfit_note([]) is None
+    assert overfit_note([(1000, 20.0), (2000, 15.0), (3000, 12.0)]) is None
+    # small wobble around the best is not overfit
+    assert overfit_note([(1000, 12.0), (2000, 12.4), (3000, 12.2),
+                         (4000, 12.6)]) is None
+    # rise must persist past the best for min_evals_past_best evals
+    assert overfit_note([(1000, 12.0), (2000, 16.0)]) is None
+
+
+def test_cli_reseed_on_collapse(tmp_path, monkeypatch):
+    """End-to-end: a pretrain whose guard always fires (threshold
+    monkeypatched to -1) aborts attempt 1, restarts with a fresh seed,
+    and lets the final attempt run to completion (no budget left)."""
+    import lsps_tpu.cli.depth_train as dt
+
+    cfg = make_synth_cfg(tmp_path, "collapse")
+    monkeypatch.setattr(dt, "FAKE_ACC_DOMINANT", -1.0)
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        dt.main(["--config", cfg, "--mode", "pretrain",
+                 "--log", str(tmp_path / "logs"),
+                 "--max-iterations", "8", "--batch-size", "4",
+                 "--reseed-on-collapse", "1",
+                 "--collapse-check-iter", "1"])
+    out = buf.getvalue()
+    # attempt 1 aborted at the first full window (display=1, window=5)
+    assert "collapse guard: discriminator-dominant basin detected" in out
+    assert "pretrain aborted at iteration 5" in out
+    assert "restarting pretrain with seed" in out
+    # final attempt has no budget: detected again but runs to the end
+    assert "continuing (no --reseed-on-collapse budget)" in out
+    assert out.count("restarting pretrain") == 1
+
+
+def test_cli_estimate_overfit_note_wiring(tmp_path, monkeypatch):
+    """estimate mode surfaces the overfit advisory from eval history
+    (forced by monkeypatching overfit_note's inputs is brittle; instead
+    patch the note function and assert the CLI calls + prints it)."""
+    import lsps_tpu.cli.depth_train as dt
+
+    cfg = make_synth_cfg(tmp_path, "overfit")
+    seen = {}
+
+    def fake_note(hist, **kw):
+        seen["hist"] = list(hist)
+        return "NOTE: synthetic overfit advisory"
+
+    monkeypatch.setattr(dt, "overfit_note", fake_note)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        dt.main(["--config", cfg, "--mode", "estimate1", "--idx", "0",
+                 "--log", str(tmp_path / "logs"),
+                 "--max-iterations", "2", "--batch-size", "4"])
+    assert "NOTE: synthetic overfit advisory" in buf.getvalue()
+    assert "hist" in seen  # the CLI passed its eval history
