@@ -62,6 +62,45 @@ def torch_uniform_init(key, shape, fan_in):
 
 _DIMSPEC = ("NHWC", "HWIO", "NHWC")
 
+# im2col reformulation of C_in=1 stem convs (opt-in): a 7x7 single-
+# channel conv gives the MXU a K=1-deep contraction per tap; extracting
+# the 49 taps into the feature dimension first
+# (lax.conv_general_dilated_patches) turns it into one K=49 GEMM —
+# math-identical, measured by scripts/bench_im2col.py (VERDICT r3 #5:
+# the last untested escape hatch of the MFU roofline argument).
+_IM2COL_STEM = None  # None = env default (LSPS_IM2COL_STEM=1)
+
+
+def set_im2col_stem(value) -> None:
+    """True/False force, None = env default."""
+    global _IM2COL_STEM
+    _IM2COL_STEM = value
+
+
+def im2col_stem_enabled() -> bool:
+    if _IM2COL_STEM is not None:
+        return bool(_IM2COL_STEM)
+    import os
+
+    return os.environ.get("LSPS_IM2COL_STEM", "0") == "1"
+
+
+def _patches_gemm(x, w, stride: int, padding: int):
+    """C_in=1 conv as patch-extraction + GEMM.  With one input channel
+    the patches helper's feature ordering is plain row-major (kh, kw),
+    matching HWIO kernel reshape; pinned by tests against the conv."""
+    kh, kw, ci, co = w.shape
+    patches = jax.lax.conv_general_dilated_patches(
+        x, (kh, kw), (stride, stride),
+        [(padding, padding), (padding, padding)],
+        dimension_numbers=_DIMSPEC)
+    y = jnp.dot(patches, w.reshape(kh * kw * ci, co),
+                preferred_element_type=jnp.promote_types(x.dtype,
+                                                         jnp.float32))
+    # back to the conv path's output dtype (bf16 conv also accumulates
+    # f32 internally and emits bf16)
+    return y.astype(x.dtype)
+
 
 def conv2d(n_in: int, n_out: int, kernel_size: int, stride: int = 1,
            padding: int = 0, groups: int = 1, bias: bool = True,
@@ -83,11 +122,14 @@ def conv2d(n_in: int, n_out: int, kernel_size: int, stride: int = 1,
         return p
 
     def apply(params, x, rng=None, train=False):
-        y = jax.lax.conv_general_dilated(
-            x, params["w"], window_strides=(stride, stride),
-            padding=[(padding, padding), (padding, padding)],
-            dimension_numbers=_DIMSPEC, feature_group_count=groups,
-        )
+        if groups == 1 and n_in == 1 and k > 1 and im2col_stem_enabled():
+            y = _patches_gemm(x, params["w"], stride, padding)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x, params["w"], window_strides=(stride, stride),
+                padding=[(padding, padding), (padding, padding)],
+                dimension_numbers=_DIMSPEC, feature_group_count=groups,
+            )
         if bias:
             y = y + params["b"]
         return y
