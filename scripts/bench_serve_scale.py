@@ -58,6 +58,12 @@ def main():
                          "batch grows to bound wall time")
     ap.add_argument("--warp", default=None, choices=["gather", "einsum"],
                     help="crop warp lowering (default: estimator default)")
+    ap.add_argument("--frame-dtype", default="float32",
+                    choices=["float32", "uint16"],
+                    help="ingest dtype of the raw frames: uint16 is the "
+                         "native sensor millimetre format, converted to "
+                         "f32 ON DEVICE — half the HBM bytes of the "
+                         "dominant 480x640 frame plane")
     ap.add_argument("--chain", type=int, default=16,
                     help="also run K calls chained inside ONE program "
                          "(lax.scan with a live carry dependency): "
@@ -86,6 +92,8 @@ def main():
     rng = np.random.RandomState(0)
     frame = np.zeros((480, 640), np.float32)
     frame[200:320, 260:380] = rng.uniform(700, 900, (120, 120))
+    if args.frame_dtype == "uint16":
+        frame = np.rint(frame).astype(np.uint16)  # whole-mm sensor depth
     com = np.array([320.0, 240.0, 800.0], np.float32)
     cube = np.array([300.0, 300.0, 300.0], np.float32)
 
@@ -134,8 +142,14 @@ def main():
             @jax.jit
             def chained(params, frames, coms, cubes):
                 def step(carry, _):
-                    f = frames * (1.0 + carry * 1e-30)
-                    j = est._frames_to_pose(params, f, coms, cubes)
+                    if frames.dtype == jnp.uint16:
+                        # perturbing uint16 frames would promote them
+                        # to f32 and defeat the half-width HBM read;
+                        # the f32 coms carry the dependency instead
+                        f, c = frames, coms * (1.0 + carry * 1e-30)
+                    else:
+                        f, c = frames * (1.0 + carry * 1e-30), coms
+                    j = est._frames_to_pose(params, f, c, cubes)
                     s = jnp.sum(j)        # keeps every batch element live
                     return s * 1e-3, s
 
