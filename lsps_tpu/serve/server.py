@@ -51,6 +51,19 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 
+class PoseHTTPServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer with a burst-worthy accept backlog.
+
+    socketserver's default ``request_queue_size`` is 5: a burst of
+    concurrent clients overflows the listen backlog and the kernel
+    refuses/resets connections before the handler ever runs (measured:
+    the round-4 latency-tail bench dropped 4-19% of requests at 64
+    concurrent clients on the default).  128 absorbs any burst the
+    micro-batcher can usefully coalesce."""
+
+    request_queue_size = 128
+
+
 def build_estimator(config_path: str, frac: float = 0.0, est: bool = False,
                     idx: int = -1, bf16: bool = False, camera=None,
                     allow_missing_vae: bool = False):
@@ -455,7 +468,7 @@ def serve_forever(estimator, port: int = 8642, host: str = "127.0.0.1",
                   batch_window_ms: float = None, max_batch: int = 64):
     ps = PoseServer(estimator, batch_window_ms=batch_window_ms,
                     max_batch=max_batch)
-    httpd = ThreadingHTTPServer((host, port), ps.handler())
+    httpd = PoseHTTPServer((host, port), ps.handler())
     ps.httpd = httpd
     extra = (f" (micro-batching: window {batch_window_ms} ms, "
              f"max {max_batch} frames)" if batch_window_ms is not None

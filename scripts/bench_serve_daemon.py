@@ -74,12 +74,10 @@ def _bucket(n: int) -> int:
 
 
 def _serve(est, window_ms, max_batch):
-    from http.server import ThreadingHTTPServer
-
-    from lsps_tpu.serve.server import PoseServer
+    from lsps_tpu.serve.server import PoseHTTPServer, PoseServer
 
     ps = PoseServer(est, batch_window_ms=window_ms, max_batch=max_batch)
-    httpd = ThreadingHTTPServer(("127.0.0.1", 0), ps.handler())
+    httpd = PoseHTTPServer(("127.0.0.1", 0), ps.handler())
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
     return ps, httpd, f"http://127.0.0.1:{httpd.server_address[1]}"

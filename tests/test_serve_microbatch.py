@@ -218,13 +218,49 @@ def test_error_propagates_to_every_waiter():
         server.batcher.close()
 
 
+def test_accept_backlog_absorbs_a_burst():
+    """PoseHTTPServer must queue a 64-connection burst instead of
+    letting the kernel refuse it (socketserver's default backlog is 5;
+    the round-4 latency-tail bench dropped 4-19% of requests at 64
+    clients before the fix)."""
+    import socket
+
+    from lsps_tpu.serve.server import PoseHTTPServer
+
+    assert PoseHTTPServer.request_queue_size >= 128
+
+    class _Nop:
+        def do_POST(self):  # pragma: no cover - never accepted
+            pass
+
+    # Bind + listen but never accept: every connect beyond the listen
+    # backlog has its SYN dropped and times out.
+    httpd = PoseHTTPServer(("127.0.0.1", 0), _Nop, bind_and_activate=True)
+    port = httpd.server_address[1]
+    socks, ok = [], 0
+    try:
+        for _ in range(64):
+            s = socket.socket()
+            s.settimeout(2.0)
+            try:
+                s.connect(("127.0.0.1", port))
+                ok += 1
+            except OSError:
+                pass
+            socks.append(s)
+        assert ok == 64, f"only {ok}/64 connections accepted by backlog"
+    finally:
+        for s in socks:
+            s.close()
+        httpd.server_close()
+
+
 @pytest.fixture(scope="module")
 def real_servers():
     """The same tiny real estimator behind a micro-batched server and a
     plain one, for end-to-end equivalence over HTTP."""
-    from http.server import ThreadingHTTPServer
-
     from lsps_tpu.serve.inference import PoseEstimator
+    from lsps_tpu.serve.server import PoseHTTPServer
 
     cam = Camera.nyu()
     kd, kv = jax.random.split(jax.random.PRNGKey(0))
@@ -235,7 +271,7 @@ def real_servers():
     servers, urls = [], []
     for window in (None, 25.0):
         ps = PoseServer(est, batch_window_ms=window)
-        httpd = ThreadingHTTPServer(("127.0.0.1", 0), ps.handler())
+        httpd = PoseHTTPServer(("127.0.0.1", 0), ps.handler())
         t = threading.Thread(target=httpd.serve_forever, daemon=True)
         t.start()
         servers.append((ps, httpd))
