@@ -35,4 +35,7 @@ for MODE in estimate3 estimate4; do
     --mode "$MODE" --frac 0.9 --max-iterations "$EST" --batch-size 32 \
     --bf16 --log "$LOG" > "$LOG/$MODE.log" 2>&1 || exit 3
 done
+
+# commit-ready evidence: metric-bearing log tails into docs/evidence/
+python scripts/snapshot_evidence.py "$LOG" || true
 echo DONE
