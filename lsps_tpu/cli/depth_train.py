@@ -74,6 +74,14 @@ def main(argv=None):
         print(f"collapse guard: pretrain aborted at iteration "
               f"{guard.triggered_at} (windowed fake acc "
               f"{guard.triggered_fake:.2f} >= {guard.threshold:.2f})")
+        # Release the aborted attempt's compiled programs and device
+        # buffers before restarting: each full-size attempt holds tens
+        # of GB of host RAM on this platform, and three attempts in one
+        # process OOM-killed a 125 GB host (round-4 hardware rescue
+        # chain).  The persistent XLA cache makes the recompile cheap.
+        import gc
+        jax.clear_caches()
+        gc.collect()
 
 
 def _run(opts, seed, can_reseed=False):

@@ -18,7 +18,8 @@ import sys
 
 TAIL_LINES = 120
 # also keep every eval-metric line regardless of position in the file
-KEEP_MARKERS = ("Mean err", "best", "Iteration:", "lr=")
+KEEP_MARKERS = ("Mean err", "best", "Iteration:", "lr=",
+                "collapse guard", "overfit advisory", "GAN health")
 MAX_KEPT = 400
 
 
