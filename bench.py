@@ -300,6 +300,30 @@ def main():
             print(f"b{b} throughput bench skipped: {type(e).__name__}: {e}",
                   file=__import__("sys").stderr)
 
+    # uint16 native-sensor ingest peak (round-4 A/B: halving the H2D
+    # bytes of the dominant frame plane lifts wall throughput where
+    # ingest binds; peak measured at batch 512 — docs/BENCHMARKS.md
+    # "uint16 native-sensor frame ingest")
+    try:
+        b = 512
+        fr16 = jnp.asarray(np.broadcast_to(
+            np.rint(frame).astype(np.uint16), (b,) + frame.shape))
+        cm = jnp.asarray(np.broadcast_to(com, (b, 3)))
+        cb = jnp.asarray(np.broadcast_to(cube, (b, 3)))
+        for _ in range(3):
+            fetch(est_bf16._frames_to_pose(est_bf16.params, fr16, cm, cb))
+        nb = 10
+        t0 = time.perf_counter()
+        for _ in range(nb - 1):
+            est_bf16._frames_to_pose(est_bf16.params, fr16, cm, cb)
+        fetch(est_bf16._frames_to_pose(est_bf16.params, fr16, cm, cb))
+        msb = (time.perf_counter() - t0) / nb * 1e3
+        out["serve_b512_u16_ms_per_image"] = round(msb / b, 4)
+        out["serve_b512_u16_images_per_s"] = round(b / (msb / 1e3), 1)
+    except Exception as e:
+        print(f"u16 throughput bench skipped: {type(e).__name__}: {e}",
+              file=__import__("sys").stderr)
+
     # training throughput + MFU (full-size NYU pretrain, fused step)
     try:
         b1 = _bench_train(jax, jnp, hyp, 1, "float32", n_iter=50)
