@@ -68,7 +68,8 @@ def main(argv=None):
         if attempt:
             print(f"collapse guard: restarting pretrain with seed {seed} "
                   f"(attempt {attempt + 1}/{attempts})")
-        guard = _run(opts, seed, can_reseed=attempt + 1 < attempts)
+        guard = _run(opts, seed, can_reseed=attempt + 1 < attempts,
+                     is_restart=attempt > 0)
         if guard is None:
             return
         print(f"collapse guard: pretrain aborted at iteration "
@@ -84,10 +85,44 @@ def main(argv=None):
         gc.collect()
 
 
-def _run(opts, seed, can_reseed=False):
+def _discard_attempt_snapshots(orbax_store, attempt_snaps, attempt_orbax):
+    """Delete the snapshots a guard-aborted pretrain attempt saved.
+
+    The aborted attempt's weights are a collapsed basin being abandoned;
+    leaving them on disk would poison both the in-process reseed (if it
+    passed ``--resume 1``) and any later resume of this experiment.
+    Only files written by this attempt are touched."""
+    import shutil
+
+    nets = ("gen", "dis", "map", "optg", "optd")
+    for prefix, it in attempt_snaps:
+        for net in nets:
+            path = f"{prefix}_{net}_{it:08d}.npz"
+            if os.path.exists(path):
+                os.remove(path)
+    if orbax_store is not None and attempt_orbax:
+        orbax_store.wait()  # join in-flight async writes first
+        for step in attempt_orbax:
+            path = os.path.join(orbax_store.directory,
+                                f"state_{step:08d}")
+            if os.path.isdir(path):
+                shutil.rmtree(path)
+    if attempt_snaps or attempt_orbax:
+        print(f"collapse guard: discarded {len(attempt_snaps)} snapshot "
+              f"set(s) and {len(attempt_orbax)} orbax step(s) saved by "
+              f"the aborted attempt")
+
+
+def _run(opts, seed, can_reseed=False, is_restart=False):
     """One full training run.  Returns None on completion; in pretrain
     with ``can_reseed`` the run aborts and returns its CollapseGuard as
-    soon as the guard detects the discriminator-dominant basin."""
+    soon as the guard detects the discriminator-dominant basin.
+
+    ``is_restart`` marks a collapse-guard reseed attempt: the
+    ``--resume 1`` snapshot restore is skipped (resuming would reload
+    the aborted attempt's collapsed weights and defeat the fresh seed),
+    and the aborted attempt deletes the snapshots it saved so a later
+    resume cannot pick up the abandoned basin either."""
     estimate = "estimate" in opts.mode
     mode_idx = int(opts.mode[-1]) if estimate else -1
 
@@ -117,7 +152,10 @@ def _run(opts, seed, can_reseed=False):
         orbax_store = OrbaxStateStore(opts.orbax_dir)
 
     iterations = 0
-    if opts.resume == 1:
+    if opts.resume == 1 and is_restart:
+        print("collapse guard: skipping --resume restore on the reseed "
+              "attempt (a fresh basin must start from fresh weights)")
+    if opts.resume == 1 and not is_restart:
         if orbax_store is not None and orbax_store.latest_step() is not None:
             state, iterations = orbax_store.restore(state)
             print(f"Resumed full state from orbax step {iterations}")
@@ -265,6 +303,11 @@ def _run(opts, seed, can_reseed=False):
         threshold=FAKE_ACC_DOMINANT,
         check_iter=opts.collapse_check_iter)
     err_history = []  # (iteration, mean mm err) per eval, overfit_note
+    # snapshots written by THIS attempt — deleted if the guard aborts it,
+    # so neither the in-process reseed nor a later --resume 1 can pick
+    # up the abandoned collapsed basin
+    attempt_snaps = []  # (prefix, it) pairs
+    attempt_orbax = []  # orbax step numbers
     rng = jax.random.PRNGKey(seed + 13)
     start = time.time()
     pending = []
@@ -431,6 +474,9 @@ def _run(opts, seed, can_reseed=False):
                             if can_reseed:
                                 print(msg)
                                 writer.close()
+                                _discard_attempt_snapshots(
+                                    orbax_store, attempt_snaps,
+                                    attempt_orbax)
                                 return guard
                             print(msg + "; continuing (no "
                                   "--reseed-on-collapse budget)")
@@ -469,8 +515,10 @@ def _run(opts, seed, can_reseed=False):
                         prefix = (config.snapshot_prefix + "_est"
                                   if estimate else config.snapshot_prefix)
                         trainer.save(state, prefix, iterations)
+                        attempt_snaps.append((prefix, iterations + 1))
                         if orbax_store is not None:
                             orbax_store.save(state, iterations + 1)
+                            attempt_orbax.append(iterations + 1)
 
                     iterations += 1
                     if iterations >= max_iterations:

@@ -105,6 +105,31 @@ def save_pose_program(path: str, exported) -> None:
         f.write(data)
 
 
+def _as_frame_dtype(a, dtype):
+    """Cast a client operand to its baked dtype, refusing LOSSY
+    float -> integer casts: a uint16-frames artifact fed f32 frames with
+    fractional millimetres (or negative / out-of-range sentinels) would
+    otherwise C-truncate and wrap into silently wrong depths — and wrong
+    joints with a 200 response."""
+    dtype = np.dtype(dtype)
+    a = np.asarray(a)
+    if a.dtype == dtype:
+        return a
+    if (np.issubdtype(dtype, np.integer)
+            and not np.issubdtype(a.dtype, np.integer)):
+        info = np.iinfo(dtype)
+        bad = (~np.isfinite(a) | (a < info.min) | (a > info.max)
+               | (a != np.trunc(a)))
+        if bad.any():
+            raise ValueError(
+                f"this artifact bakes {dtype.name} frames (native sensor "
+                f"millimetres) but the request's {a.dtype.name} values "
+                f"are not losslessly representable (fractional, "
+                f"non-finite, or outside [{info.min}, {info.max}]) — "
+                f"send integral mm frames or use a float32 artifact")
+    return a.astype(dtype)
+
+
 def load_pose_program(path: str):
     """Load a saved artifact; returns a callable running the
     deserialized program (no model code or checkpoint needed) —
@@ -124,8 +149,9 @@ def load_pose_program(path: str):
                 f"artifact takes {len(exported.in_avals)} arrays, "
                 f"got {len(args)}")
         # cast each operand to its baked dtype (a uint16-frames
-        # artifact wants native millimetre frames, not f32)
-        out = exported.call(*(jnp.asarray(a, av.dtype)
+        # artifact wants native millimetre frames, not f32); lossy
+        # float->int casts raise instead of silently truncating
+        out = exported.call(*(jnp.asarray(_as_frame_dtype(a, av.dtype))
                               for a, av in zip(args, exported.in_avals)))
         return jax.tree_util.tree_map(np.asarray, out)
 
@@ -185,7 +211,7 @@ class ArtifactPoseEstimator:
             raise ValueError(
                 "this artifact bakes the raw-detection program "
                 "(frames, cubes); use predict_raw / omit 'coms'")
-        frames = np.asarray(frames, self.frame_dtype)
+        frames = _as_frame_dtype(frames, self.frame_dtype)
         coms = np.asarray(coms, np.float32)
         cubes = np.asarray(cubes, np.float32)
         self._check_frames(frames)
@@ -197,7 +223,7 @@ class ArtifactPoseEstimator:
         return np.concatenate(self._bucketed((frames, coms, cubes), n), 0)
 
     def _predict_raw(self, frames, cubes=None, return_coms: bool = False):
-        frames = np.asarray(frames, self.frame_dtype)
+        frames = _as_frame_dtype(frames, self.frame_dtype)
         if cubes is None:
             cubes = np.full((frames.shape[0], 3), 300.0, np.float32)
         cubes = np.asarray(cubes, np.float32)

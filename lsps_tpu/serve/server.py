@@ -165,8 +165,8 @@ class MicroBatcher:
 
     ``max_batch`` is a HARD cap on the dispatched batch: _collect stops
     before an item that would push past it (the item leads the next
-    round), and an oversize single request is chunked to
-    ``_bucket(max_batch)``-frame programs — so the estimator never sees
+    round), and an oversize single request is chunked to programs of the
+    largest power of two <= ``max_batch`` — so the estimator never sees
     a batch (or pad bucket) above the operator-set bound, and a live-jit
     estimator never compiles an unplanned shape above it.
 
@@ -254,18 +254,25 @@ class MicroBatcher:
             for items in groups.values():
                 try:
                     self._dispatch(items)
-                except Exception:
-                    # shared fate would fail innocent neighbors for one
-                    # bad batch — retry each item individually once, so
-                    # only genuinely-failing requests see an error
-                    for it in items:
-                        try:
-                            self._dispatch([it])
-                        except Exception as e:
-                            # fresh instance per waiter: concurrent
-                            # re-raises from handler threads would
-                            # garble a shared __traceback__
-                            it.error = e
+                except Exception as e:
+                    if len(items) == 1:
+                        # a lone request re-dispatched identically is
+                        # guaranteed to fail again — don't double the
+                        # device work / time-to-error
+                        items[0].error = e
+                    else:
+                        # shared fate would fail innocent neighbors for
+                        # one bad batch — retry each item individually
+                        # once, so only genuinely-failing requests see
+                        # an error
+                        for it in items:
+                            try:
+                                self._dispatch([it])
+                            except Exception as e2:
+                                # fresh instance per waiter: concurrent
+                                # re-raises from handler threads would
+                                # garble a shared __traceback__
+                                it.error = e2
                 finally:
                     for it in items:
                         it.event.set()
@@ -277,8 +284,13 @@ class MicroBatcher:
                 else np.concatenate([it.coms for it in items]))
         n = frames.shape[0]
         # a single oversize request can exceed max_batch: run it as
-        # cap-sized chunks so the pad bucket never tops _bucket(cap)
+        # cap-sized chunks.  cap is the largest power of two <= max_batch
+        # so the PAD BUCKET also respects the bound (a non-pow2
+        # max_batch like 48 must not pad a 48-frame chunk up to 64 — an
+        # unplanned live-jit shape above the operator-set limit).
         cap = _bucket(self.max_batch)
+        if cap > self.max_batch:
+            cap >>= 1
         js, ds = [], []
         for s in range(0, n, cap):
             f = frames[s:s + cap]

@@ -65,12 +65,9 @@ def _frame():
     return frame, com, cube
 
 
-def _bucket(n: int) -> int:
-    """Next power-of-two >= n (mirrors serve.server._bucket)."""
-    b = 1
-    while b < n:
-        b <<= 1
-    return b
+# the server's own bucketing policy: warming must track it exactly or
+# an XLA compile lands inside a measured run
+from lsps_tpu.serve.server import _bucket  # noqa: E402
 
 
 def _serve(est, window_ms, max_batch):

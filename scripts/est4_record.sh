@@ -26,6 +26,14 @@ unset LSPS_AUGMENT
 # them when absent (resuming any earlier pre_* snapshot in SRC — the
 # committed evidence chain leaves the seed-23455 10k ones there, and
 # resume == straight-through is pinned by the LR-boundary-resume test).
+# The pose VAE comes from a separate pose_train stage (fraction-keyed
+# 2+frac naming; saves at 4*snapshot_save_iterations = 20000) — the
+# pretrain stage never writes it, so regenerate it too when absent.
+if [ ! -f "$SRC"/pre_vae_2.90_00020000.npz ]; then
+  python -m lsps_tpu.cli.pose_train --config exps/synth_full.yaml \
+    --frac 0.9 --max-iterations 20000 --log "$LOGD" \
+    > "$LOGD/pose.log" 2>&1 || exit 3
+fi
 if [ ! -f "$SRC"/pre_gen_$(printf %08d "$PRE").npz ]; then
   rm -f "$SRC"/pre_est_*   # est snapshots would shadow get_model_list
   RESUME=0

@@ -104,6 +104,40 @@ def test_cli_reseed_on_collapse(tmp_path, monkeypatch):
     assert out.count("restarting pretrain") == 1
 
 
+def test_cli_reseed_skips_resume_and_discards_aborted_snapshots(
+        tmp_path, monkeypatch):
+    """--reseed-on-collapse with --resume 1: the reseed attempt must NOT
+    restore the aborted attempt's own (collapsed) snapshots — that would
+    silently defeat the fresh seed — and the aborted attempt must delete
+    the snapshots it saved so later resumes can't pick up the abandoned
+    basin either."""
+    import os
+
+    import lsps_tpu.cli.depth_train as dt
+
+    # snapshot cadence 3 < abort iteration 5: attempt 1 saves once
+    cfg = make_synth_cfg(tmp_path, "reseed_resume", snapshot_iters=3)
+    monkeypatch.setattr(dt, "FAKE_ACC_DOMINANT", -1.0)
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        dt.main(["--config", cfg, "--mode", "pretrain", "--resume", "1",
+                 "--log", str(tmp_path / "logs"),
+                 "--max-iterations", "8", "--batch-size", "4",
+                 "--reseed-on-collapse", "1",
+                 "--collapse-check-iter", "1"])
+    out = buf.getvalue()
+    assert "pretrain aborted at iteration 5" in out
+    assert "discarded 1 snapshot set(s)" in out
+    assert "skipping --resume restore on the reseed attempt" in out
+    # the final attempt ran the full schedule from iteration 0 (a resume
+    # of the aborted attempt's it-3 snapshot would have shifted its
+    # snapshot grid); its own saves landed at 3 and 6
+    snap_dir = tmp_path / "reseed_resume"
+    assert os.path.exists(snap_dir / "pre_gen_00000003.npz")
+    assert os.path.exists(snap_dir / "pre_gen_00000006.npz")
+
+
 def test_cli_estimate_overfit_note_wiring(tmp_path, monkeypatch):
     """estimate mode surfaces the overfit advisory from eval history
     (forced by monkeypatching overfit_note's inputs is brittle; instead

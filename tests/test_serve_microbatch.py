@@ -394,6 +394,44 @@ def test_oversize_request_chunks_to_cap():
                                rtol=1e-6)
 
 
+def test_non_pow2_max_batch_never_pads_above_the_bound():
+    """max_batch=48-style bounds: the pad bucket must stay <= max_batch
+    (the earlier chunking used bucket(max_batch)=64 and padded a
+    48-frame chunk ABOVE the operator-set limit — an unplanned live-jit
+    shape)."""
+    est = _StubEstimator()
+    b = _stopped_batcher(
+        lambda f, c, k: (est.predict_frames(f, c, k), None), max_batch=6)
+    item = _pending(6)
+    item.frames[:, 0, 0] = np.arange(6)
+    b._dispatch([item])
+    # chunk cap is 4 (largest pow2 <= 6): 6 -> 4 + 2, never a padded 8
+    assert est.calls == [4, 2]
+    assert max(est.calls) <= 6
+    assert item.joints.shape == (6, 4, 3)
+    np.testing.assert_allclose(item.joints[:, 0, 0],
+                               item.frames.reshape(6, -1).mean(axis=1),
+                               rtol=1e-6)
+
+
+def test_lone_failing_request_is_not_retried():
+    """A group of ONE failing request must surface its error without an
+    identical (guaranteed-to-fail) re-dispatch doubling device work."""
+    calls = []
+
+    def run_group(frames, coms, cubes):
+        calls.append(frames.shape[0])
+        raise RuntimeError("poison frame")
+
+    b = _stopped_batcher(run_group, max_batch=8)
+    bad = _pending(1, 666.0)
+    b._q.put(bad)
+    b._round()
+    assert calls == [1]  # exactly one dispatch, no retry
+    assert isinstance(bad.error, RuntimeError)
+    assert bad.event.is_set()
+
+
 def test_abandoned_items_are_dropped():
     """A submit() that timed out must not consume estimator work."""
     est = _StubEstimator()

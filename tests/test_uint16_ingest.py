@@ -145,3 +145,16 @@ def test_export_uint16_artifact_matches_f32(tmp_path):
     # whole-mm f32 input to the uint16 artifact casts losslessly too
     got2 = a16.predict_frames(frames, coms, cubes)
     np.testing.assert_array_equal(want, got2)
+
+    # LOSSY float input must raise, not silently truncate/wrap: each of
+    # fractional mm, negative sentinels, and out-of-range values
+    import pytest
+
+    for poison in (0.5, -1.0, 70000.0, np.nan):
+        bad = frames.copy()
+        bad[0, 0, 0] = poison
+        with pytest.raises(ValueError, match="losslessly"):
+            a16.predict_frames(bad, coms, cubes)
+    # the f32 artifact still accepts uint16 input (int->float is exact)
+    np.testing.assert_array_equal(
+        want, a32.predict_frames(frames.astype(np.uint16), coms, cubes))
