@@ -147,19 +147,24 @@ class CheckpointManager:
              save_opt: bool = True) -> None:
         """Save gen/dis (+optimizers) — lsps_trainer.py:307-319.  Unlike
         the reference (which comments the optimizer saves out), optimizer
-        state is saved so preemption-resume is exact."""
+        state is saved so preemption-resume is exact.
+
+        Write order matters for crash safety: resume() keys off the gen
+        file, so it is written LAST — a save interrupted mid-way (e.g. a
+        device fetch killed by preemption) leaves no gen marker for this
+        step and resume falls back to the previous complete set."""
         it = iterations + 1
-        save_pytree(f"{snapshot_prefix}_gen_{it:08d}.npz",
-                    state["params"]["gen"])
-        save_pytree(f"{snapshot_prefix}_dis_{it:08d}.npz",
-                    state["params"]["dis"])
-        save_pytree(f"{snapshot_prefix}_map_{it:08d}.npz",
-                    state["params"]["map"])
         if save_opt:
             save_pytree(f"{snapshot_prefix}_optg_{it:08d}.npz",
                         state["opt"]["gen"])
             save_pytree(f"{snapshot_prefix}_optd_{it:08d}.npz",
                         state["opt"]["dis"])
+        save_pytree(f"{snapshot_prefix}_map_{it:08d}.npz",
+                    state["params"]["map"])
+        save_pytree(f"{snapshot_prefix}_dis_{it:08d}.npz",
+                    state["params"]["dis"])
+        save_pytree(f"{snapshot_prefix}_gen_{it:08d}.npz",
+                    state["params"]["gen"])
 
     def save_vae(self, vae_params, snapshot_prefix: str, iterations: int,
                  frac: float) -> None:
@@ -186,14 +191,26 @@ class CheckpointManager:
         opt = dict(state["opt"])
         self.last_opt_loaded = False
         if load_opt:
+            # Optimizer snapshots must come from the SAME save as the
+            # params we just loaded — an interrupted save (params written,
+            # opt fetch killed mid-flight) must not silently pair
+            # params@N with opt@M<N, which corrupts the Adam moments.
+            # Derive the opt paths from the gen file (same prefix family,
+            # same step) instead of taking the latest by key.
             try:
-                optg = get_model_list(dirname, "optg", idx)
-                optd = get_model_list(dirname, "optd", idx)
+                optg = last.replace(f"_{gen_key}_", "_optg_")
+                optd = last.replace(f"_{gen_key}_", "_optd_")
+                optg = optg if os.path.isfile(optg) else None
+                optd = optd if os.path.isfile(optd) else None
                 if optg:
                     opt["gen"] = load_pytree(optg, opt["gen"])
                 if optd:
                     opt["dis"] = load_pytree(optd, opt["dis"])
                 self.last_opt_loaded = bool(optg and optd)
+                if not self.last_opt_loaded:
+                    print("-----No matching-step optimizer snapshot for "
+                          f"{os.path.basename(last)}; optimizer state "
+                          "starts fresh")
             except Exception as e:  # tolerate missing/incompatible opt
                 print(f"-----Failed to load optimizer parameters! ({e})")
         try:

@@ -170,6 +170,39 @@ def test_checkpoint_roundtrip(trainer, state, tmp_path):
         np.asarray(jax.tree_util.tree_leaves(state["params"]["vae"])[0]))
 
 
+def test_resume_opt_must_match_params_step(trainer, state, tmp_path):
+    """An interrupted save (params written, optimizer fetch killed) must
+    not pair params@N with the latest-by-name opt@M<N — mismatched Adam
+    moments corrupt the resumed trajectory.  Found live: a tunnel hang
+    at the 10k snapshot left gen/dis/map/optg@10000 on disk with optd
+    only at 5000."""
+    prefix = str(tmp_path / "run" / "pre")
+    # complete set at step 10 with a distinctive opt state
+    old = {"params": state["params"], "step": state["step"],
+           "opt": jax.tree_util.tree_map(lambda x: x + 7.0, state["opt"])}
+    trainer.save(old, prefix, 9)
+    # interrupted set at step 20: optd never written
+    trainer.save(state, prefix, 19)
+    os.remove(prefix + "_optd_00000020.npz")
+
+    fresh = {"params": state["params"], "opt": state["opt"],
+             "step": state["step"]}
+    st, iters = trainer.resume(fresh, prefix, load_opt=True)
+    assert iters == 20
+    # dis opt must NOT have been filled from the stale step-10 file —
+    # it restarts fresh (with only the LR-schedule count seeded to 20)
+    expect = trainer._seed_schedule_count(state["opt"]["dis"], 20)
+    assert _leaf_delta(st["opt"]["dis"], expect) == 0
+    assert trainer.ckpt.last_opt_loaded is False
+
+    # and a complete set resumes opt normally
+    os.remove(prefix + "_gen_00000020.npz")
+    st2, iters2 = trainer.resume(fresh, prefix, load_opt=True)
+    assert iters2 == 10
+    assert _leaf_delta(st2["opt"]["dis"], old["opt"]["dis"]) == 0
+    assert trainer.ckpt.last_opt_loaded is True
+
+
 def test_torch_convert_roundtrip():
     """Converter maps a torch module onto our template by name."""
     import torch
