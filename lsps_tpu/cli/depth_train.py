@@ -38,7 +38,8 @@ MAX_EPOCHS = 100000
 # collapse guard); the constant is re-exported here so operators (and
 # tests) can retune the threshold at the CLI module.
 from lsps_tpu.train.gan_health import (COLLAPSE_CHECK_ITER,  # noqa: E402
-                                       FAKE_ACC_DOMINANT, CollapseGuard,
+                                       FAKE_ACC_DOMINANT,
+                                       RESEED_WINDOW_FRAC, CollapseGuard,
                                        gan_health_note, overfit_note)
 
 
@@ -58,6 +59,12 @@ def main(argv=None):
                         default=COLLAPSE_CHECK_ITER,
                         help="iteration from which the collapse guard "
                         "may trigger")
+    parser.add_argument("--collapse-reseed-until", type=float,
+                        default=RESEED_WINDOW_FRAC, metavar="FRAC",
+                        help="reseed only when the guard triggers within "
+                        "the first FRAC of the schedule; later triggers "
+                        "stay advisory (late borderline dominance is "
+                        "measured-benign, docs/BENCHMARKS.md)")
     opts = parser.parse_args(argv)
 
     attempts = max(0, opts.reseed_on_collapse) + 1
@@ -471,15 +478,26 @@ def _run(opts, seed, can_reseed=False, is_restart=False):
                                    f"iteration {iterations + 1} "
                                    f"(windowed fake acc "
                                    f"{guard.triggered_fake:.2f})")
-                            if can_reseed:
+                            in_window = ((iterations + 1) <=
+                                         opts.collapse_reseed_until
+                                         * max_iterations)
+                            if can_reseed and in_window:
                                 print(msg)
                                 writer.close()
                                 _discard_attempt_snapshots(
                                     orbax_store, attempt_snaps,
                                     attempt_orbax)
                                 return guard
-                            print(msg + "; continuing (no "
-                                  "--reseed-on-collapse budget)")
+                            if can_reseed:
+                                print(msg + "; continuing (past the "
+                                      "reseed window at "
+                                      f"{(iterations + 1) / max_iterations:.0%}"
+                                      " of schedule — late borderline "
+                                      "dominance is measured-benign, "
+                                      "docs/BENCHMARKS.md)")
+                            else:
+                                print(msg + "; continuing (no "
+                                      "--reseed-on-collapse budget)")
 
                     if (iterations + 1) % config.image_display_iterations \
                             == 0:

@@ -36,6 +36,17 @@ FAKE_ACC_DOMINANT = 0.92
 # schedule recoverable on a reseed.
 COLLAPSE_CHECK_ITER = 3000
 
+# The reseed ACTION is confined to the first half of the schedule.
+# Measured trigger points: true NYU collapse basins were detected at
+# 4.4-7.6k of 20k (22-38%) and produced ~2x estimate error, while the
+# ICVL record basin tripped the (NYU-calibrated) threshold only at
+# 18.2k of 20k (91%) yet delivered the 8.52 mm record — late
+# borderline dominance is a different, benign signature
+# (docs/BENCHMARKS.md, round-4 ICVL re-run).  Past this fraction the
+# guard stays advisory even with --reseed-on-collapse budget: a reseed
+# there discards more work than it could save.
+RESEED_WINDOW_FRAC = 0.5
+
 
 def gan_health_note(acc_tail, threshold: float = None) -> Optional[str]:
     """Return an advisory string when pretrain ended discriminator-

@@ -93,7 +93,8 @@ def test_cli_reseed_on_collapse(tmp_path, monkeypatch):
                  "--log", str(tmp_path / "logs"),
                  "--max-iterations", "8", "--batch-size", "4",
                  "--reseed-on-collapse", "1",
-                 "--collapse-check-iter", "1"])
+                 "--collapse-check-iter", "1",
+                 "--collapse-reseed-until", "1"])
     out = buf.getvalue()
     # attempt 1 aborted at the first full window (display=1, window=5)
     assert "collapse guard: discriminator-dominant basin detected" in out
@@ -125,7 +126,8 @@ def test_cli_reseed_skips_resume_and_discards_aborted_snapshots(
                  "--log", str(tmp_path / "logs"),
                  "--max-iterations", "8", "--batch-size", "4",
                  "--reseed-on-collapse", "1",
-                 "--collapse-check-iter", "1"])
+                 "--collapse-check-iter", "1",
+                 "--collapse-reseed-until", "1"])
     out = buf.getvalue()
     assert "pretrain aborted at iteration 5" in out
     assert "discarded 1 snapshot set(s)" in out
@@ -136,6 +138,32 @@ def test_cli_reseed_skips_resume_and_discards_aborted_snapshots(
     snap_dir = tmp_path / "reseed_resume"
     assert os.path.exists(snap_dir / "pre_gen_00000003.npz")
     assert os.path.exists(snap_dir / "pre_gen_00000006.npz")
+
+
+def test_cli_late_trigger_stays_advisory(tmp_path, monkeypatch):
+    """A trigger past --collapse-reseed-until must NOT burn reseed
+    budget: the measured ICVL record basin tripped the NYU-calibrated
+    threshold at 91% of its schedule yet delivered 8.52 mm — a reseed
+    there would have discarded a record run (docs/BENCHMARKS.md)."""
+    import lsps_tpu.cli.depth_train as dt
+
+    cfg = make_synth_cfg(tmp_path, "late_trigger")
+    monkeypatch.setattr(dt, "FAKE_ACC_DOMINANT", -1.0)
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        # first possible trigger: window full at iteration 5 = 62.5% of
+        # the 8-iteration schedule > the 0.5 default window
+        dt.main(["--config", cfg, "--mode", "pretrain",
+                 "--log", str(tmp_path / "logs"),
+                 "--max-iterations", "8", "--batch-size", "4",
+                 "--reseed-on-collapse", "1",
+                 "--collapse-check-iter", "1"])
+    out = buf.getvalue()
+    assert "collapse guard: discriminator-dominant basin detected" in out
+    assert "past the reseed window at 62%" in out
+    assert "restarting pretrain" not in out
+    assert "pretrain aborted" not in out
 
 
 def test_cli_estimate_overfit_note_wiring(tmp_path, monkeypatch):
