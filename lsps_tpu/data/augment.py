@@ -67,7 +67,10 @@ def augment_crop(img, gt3d_crop, com_img, cube, M, aug_modes, hd,
     sc = abs(1.0 + rng.randn() * sigma_sc)
 
     mode_name = aug_modes[mode]
+    # non-rot branches return rot == 0.0, exactly like the reference
+    # zeroes the unused draws per branch (dataset_hand2.py:75-99)
     if mode_name == "com":
+        rot = 0.0
         img_d, new_joints, com_img, M = hd.move_com(
             img.astype("float32"), cube, com_img, off, gt3d_crop, M,
             pad_value=0)
@@ -78,11 +81,13 @@ def augment_crop(img, gt3d_crop, com_img, cube, M, aug_modes, hd,
             pad_value=0)
         label = new_joints / (cube[2] / 2.0)
     elif mode_name == "sc":
+        rot = 0.0
         img_d, new_joints, cube, M = hd.scale_hand(
             img.astype("float32"), cube, com_img, sc, gt3d_crop, M,
             pad_value=0)
         label = new_joints / (cube[2] / 2.0)
     elif mode_name == "none":
+        rot = 0.0
         img_d = img
         label = gt3d_crop / (cube[2] / 2.0)
     else:

@@ -62,14 +62,18 @@ class HandDetector:
     def calculate_com(self, dpt) -> np.ndarray:
         """Depth-weighted center of mass in (u, v, z[mm])
         (handdetector.py:93-110)."""
-        dc = np.asarray(dpt, np.float64).copy()
+        # Keep the frame's dtype: the reference sums the clamped frame
+        # as-is (float32 in practice), so the z term accumulates in f32
+        # before the f64 divide (handdetector.py:99-110).  Summing in
+        # f64 drifts z by ~1e-5 mm vs the reference bit stream.
+        dc = np.asarray(dpt).copy()
         dc[dc < self.min_depth] = 0
         dc[dc > self.max_depth] = 0
         num = np.count_nonzero(dc)
         if num == 0:
             return np.zeros(3)
         ys, xs = np.nonzero(dc > 0)
-        return np.array([xs.mean(), ys.mean(), dc.sum() / num])
+        return np.array([xs.mean(), ys.mean(), float(dc.sum()) / num])
 
     def check_image(self, tol) -> bool:
         """Image has content iff std > tol (handdetector.py:112-122)."""
@@ -174,8 +178,10 @@ class HandDetector:
         out_h, out_w = dsize[1], dsize[0]
         x_ratio = float(src.shape[1] - 1) / out_w
         y_ratio = float(src.shape[0] - 1) / out_h
-        rows = np.arange(out_h, dtype=np.float32)[:, None]
-        cols = np.arange(out_w, dtype=np.float32)[None, :]
+        # f64 grid: the reference computes offsets/weights in python
+        # floats (f64) and only the final products round to f32
+        rows = np.arange(out_h, dtype=np.float64)[:, None]
+        cols = np.arange(out_w, dtype=np.float64)[None, :]
         y = (rows * y_ratio).astype(np.int64)
         x = (cols * x_ratio).astype(np.int64)
         y_diff = rows * y_ratio - y
@@ -206,10 +212,25 @@ class HandDetector:
         w11_ = np.where(nd10, 1.0 - w01_ - w00_, w11_)
         w11_ = np.where(nd11, 0.0, w11_)
         w10_ = np.where(nd11 & (w10_ != 0.0), 1.0 - w01_ - w00_, w10_)
-        total = w00_ + w01_ + w10_ + w11_
+        # reference sums the normalizer as yx + yx2 + y2x + y2x2 and
+        # scales each WEIGHT before the dot product
+        # (handdetector.py:190-203); both orderings matter for bit
+        # parity at f32 rounding ties.
+        total = w11_ + w10_ + w01_ + w00_
         all_zero = total == 0.0
         scale = np.where(all_zero, 1.0, 1.0 / np.where(all_zero, 1.0, total))
-        val = (w00_ * c00 + w01_ * c01 + w10_ * c10 + w11_ * c11) * scale
+        w00_ *= scale
+        w01_ *= scale
+        w10_ *= scale
+        w11_ *= scale
+        # The reference's scalar `weight * src[y, x]` products and their
+        # left-to-right sum each round to float32 (numpy scalar
+        # promotion keeps the f32 kind, handdetector.py:200-203);
+        # accumulate the dot in f32 the same way for bit parity.
+        val = w00_.astype(np.float32) * c00
+        val = val + w01_.astype(np.float32) * c01
+        val = val + w10_.astype(np.float32) * c10
+        val = val + w11_.astype(np.float32) * c11
         out = np.where(all_zero | (n_nd > 2), nd_value, val)
         return out.astype(np.float32)
 
