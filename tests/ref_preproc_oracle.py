@@ -87,10 +87,11 @@ class _DivRewriter(ast.NodeTransformer):
         return node
 
 
-# py2 print statements (only plain string-literal forms exist in the
-# reference preprocessing sources — handdetector.py:214)
-_PRINT_STMT = re.compile(r"^(\s*)print (\"[^\"]*\"|'[^']*')\s*$",
-                         re.MULTILINE)
+# py2 print statements: plain string literals (handdetector.py:214) and
+# single-line `print "..." % (...)` forms (handpose_evaluation.py:526-529)
+_PRINT_STMT = re.compile(
+    r"^(\s*)print ((?:\"[^\"]*\"|'[^']*')(?:\s*%\s*\(.*\))?)\s*$",
+    re.MULTILINE)
 
 # cv2 3.x-era 3-tuple findContours unpack (handdetector.py:588)
 _FINDCONTOURS3 = re.compile(
@@ -251,8 +252,28 @@ def load_ref_preproc() -> dict:
                                     "data.dataset_hand2")
     data_pkg.dataset_hand2 = dataset_hand2
 
+    # evaluation stack (§2.6): helpers is py3-clean; handpose_evaluation
+    # needs the era shims; legacy evaluation.py is registered under a
+    # PRIVATE name because tests/ref_oracle.py stubs "utils.evaluation"
+    # for the trainer oracle and both may live in one pytest session.
+    spec = importlib.util.spec_from_file_location(
+        "utils.helpers", os.path.join(REF_SRC, "utils/helpers.py"))
+    helpers = importlib.util.module_from_spec(spec)
+    sys.modules["utils.helpers"] = helpers
+    spec.loader.exec_module(helpers)
+    utils_pkg.helpers = helpers
+
+    handpose_evaluation = _exec_reference("utils/handpose_evaluation.py",
+                                          "utils.handpose_evaluation")
+    utils_pkg.handpose_evaluation = handpose_evaluation
+
+    evaluation = _exec_reference("utils/evaluation.py",
+                                 "lsps_reference_oracle.evaluation")
+
     _cache.update(handdetector=handdetector,
                   transformations=transformations,
                   importers=importers,
-                  dataset_hand2=dataset_hand2)
+                  dataset_hand2=dataset_hand2,
+                  handpose_evaluation=handpose_evaluation,
+                  evaluation=evaluation)
     return _cache
