@@ -73,7 +73,13 @@ class HandDetector:
         if num == 0:
             return np.zeros(3)
         ys, xs = np.nonzero(dc > 0)
-        return np.array([xs.mean(), ys.mean(), float(dc.sum()) / num])
+        # xs.mean()/ys.mean() equal ndimage.center_of_mass(dc > 0)
+        # exactly (integer index sums are exact in f64); mirror the
+        # reference's cc*num → com/num round trip so the last-ulp
+        # rounding path matches too (handdetector.py:103-110).
+        com = np.array([xs.mean() * num, ys.mean() * num,
+                        float(dc.sum())])
+        return com / num
 
     def check_image(self, tol) -> bool:
         """Image has content iff std > tol (handdetector.py:112-122)."""
@@ -227,6 +233,9 @@ class HandDetector:
         # left-to-right sum each round to float32 (numpy scalar
         # promotion keeps the f32 kind, handdetector.py:200-203);
         # accumulate the dot in f32 the same way for bit parity.
+        # NB: "keeps the f32 kind" holds under NEP 50 (numpy >= 2,
+        # asserted in tests/conftest.py); numpy 1.x would promote the
+        # reference's own products to f64 — see docs/PARITY.md #10.
         val = w00_.astype(np.float32) * c00
         val = val + w01_.astype(np.float32) * c01
         val = val + w10_.astype(np.float32) * c10

@@ -138,7 +138,11 @@ class HandposeEvaluation:
             mean.append(ev.getMeanError())
             ax.bar(ind + width * i, mean, width, label=name)
         ax.set_xticks(ind + width)
-        labels = list(self.jointNames or [str(j) for j in range(nj)])
+        # the reference's NYU 'all' table names only the 32 tracked of
+        # 36 joints (handpose_evaluation.py:755-758); pad so the bar
+        # plot stays usable at any joint count
+        labels = list(self.jointNames or [])[:nj]
+        labels += [str(j) for j in range(len(labels), nj)]
         ax.set_xticklabels(labels + ["Avg"], rotation=90)
         ax.set_ylabel("Mean error of joint / mm")
         if self.dolegend:
@@ -344,12 +348,6 @@ class HandposeEvaluation:
         return None
 
 
-def _rgb01(bgr):
-    """OpenCV BGR tuple -> matplotlib RGB in [0,1]."""
-    b, g, r = bgr
-    return (r / 255.0, g / 255.0, b / 255.0)
-
-
 def _rgb_to_gray(rgb):
     """Luma grayscale of an RGB [0,1] triple (reference rgb_to_gray,
     src/utils/helpers.py:136-143)."""
@@ -365,67 +363,118 @@ def _to_bgr255(rgb):
     return (b, g, r)
 
 
-def _skeleton_tables(color_idx, bones):
-    """(jointColors, jointConnections, jointConnectionColors) from the
-    shared skeleton tables (utils/skeleton.py, reference util.py:11-37)."""
-    from lsps_tpu.utils.skeleton import FIG_COLOR
+def _hsv(h, s, v):
+    """HSV triple -> RGB [0,1] ndarray exactly as the reference builds
+    its tables (matplotlib.colors.hsv_to_rgb on a [[[h,s,v]]] image,
+    reference handpose_evaluation.py:701-736 et al.) so the oracle
+    comparison is bitwise."""
+    import matplotlib.colors
 
-    joint_colors = [_rgb01(FIG_COLOR[i]) for i in color_idx]
-    conns = [(b[0], b[1]) for b in bones]
-    conn_colors = [_rgb01(b[2]) for b in bones]
-    return joint_colors, conns, conn_colors
+    return matplotlib.colors.hsv_to_rgb(np.asarray([[[h, s, v]]]))[0, 0]
+
+
+# one hue per finger: thumb/red, index/green, middle/cyan, ring/blue,
+# pinky/magenta — shared by all three datasets' eval tables
+_FINGER_HUES = (0.00, 0.33, 0.50, 0.66, 0.83)
 
 
 class NYUHandposeEvaluation(HandposeEvaluation):
-    """NYU joint names/skeleton (handpose_evaluation.py:740-850)."""
+    """NYU joint names/skeleton — the eval classes' OWN tables
+    (reference handpose_evaluation.py:740-850), which differ from the
+    util.py visPair bone tables (utils/skeleton.py): the eval-14
+    skeleton is a tree rooted at the palm C joint, not a chain."""
 
-    def __init__(self, gtjoints, joints, joint_subset="all", **kw):
+    def __init__(self, gtjoints, joints, joint_subset=None, **kw):
         super().__init__(gtjoints, joints, **kw)
-        from lsps_tpu.utils import skeleton as sk
-
-        if joint_subset == "eval" or np.asarray(gtjoints).shape[1] == 14:
+        nj = np.asarray(gtjoints).shape[1]
+        if joint_subset is None:
+            joint_subset = "eval" if nj == 14 else "all"
+        if joint_subset == "eval":
+            # handpose_evaluation.py:823-850 (14-joint eval protocol)
             self.jointNames = ["P1", "P2", "R1", "R2", "M1", "M2", "I1",
                                "I2", "T1", "T2", "T3", "W1", "W2", "C"]
-            (self.jointColors, self.jointConnections,
-             self.jointConnectionColors) = _skeleton_tables(
-                [5] * 14, sk.NYU_BONES_14)
+            self.jointColors = (
+                [_hsv(h, 1, v) for h in _FINGER_HUES[:4]
+                 for v in (0.7, 1.0)]
+                + [_hsv(0.83, 1, v) for v in (0.6, 0.8, 1.0)]
+                + [_hsv(0.16, 1, 0.7), _hsv(0.16, 1, 1.0),
+                   _hsv(0.00, 0, 0.0)])
+            self.jointConnections = [[13, 1], [1, 0], [13, 3], [3, 2],
+                                     [13, 5], [5, 4], [13, 7], [7, 6],
+                                     [13, 10], [10, 9], [9, 8], [13, 11],
+                                     [13, 12]]
+            self.jointConnectionColors = (
+                [_hsv(h, 1, v) for h in _FINGER_HUES[:4]
+                 for v in (0.7, 1)]
+                + [_hsv(0.83, 1, v) for v in (0.6, 0.8, 1)]
+                + [_hsv(0.16, 1, 0.7), _hsv(0.16, 1, 1)])
+        elif joint_subset == "all":
+            # handpose_evaluation.py:755-822 (full 36-joint layout; the
+            # reference names only the 32 tracked joints)
+            self.jointNames = (
+                [f"{f}{i}" for f in "PRMIT" for i in range(1, 6)]
+                + ["C1", "C2", "C3", "W1", "W2", "W3", "W4"])
+            self.jointColors = (
+                [_hsv(h, 1, v) for h in _FINGER_HUES
+                 for v in (0.2, 0.3, 0.4, 0.6, 0.8, 1.0)]
+                + [_hsv(0.00, 1, 0.0)] * 3
+                + [_hsv(0.16, 1, 0.7)] * 2 + [_hsv(0.16, 1, 1.0)] * 2)
+            self.jointConnections = [
+                [33, 5], [5, 4], [4, 3], [3, 2], [2, 1], [1, 0],
+                [32, 11], [11, 10], [10, 9], [9, 8], [8, 7], [7, 6],
+                [32, 17], [17, 16], [16, 15], [15, 14], [14, 13], [13, 12],
+                [32, 23], [23, 22], [22, 21], [21, 20], [20, 19], [19, 18],
+                [34, 29], [29, 28], [28, 27], [27, 26], [26, 25], [25, 24],
+                [34, 32], [34, 33], [33, 32],
+                [34, 30], [34, 31], [35, 30], [35, 31]]
+            self.jointConnectionColors = (
+                [_hsv(h, 1, v) for h in _FINGER_HUES
+                 for v in (0.2, 0.3, 0.4, 0.6, 0.8, 1)]
+                + [_hsv(0.00, 1, 0.0)] * 3
+                + [_hsv(0.16, 1, 0.7)] * 2 + [_hsv(0.16, 1, 1.0)] * 2)
         else:
-            self.jointNames = [f"J{i}" for i
-                               in range(np.asarray(gtjoints).shape[1])]
-            (self.jointColors, self.jointConnections,
-             self.jointConnectionColors) = _skeleton_tables(
-                sk.NYU_COLOR_IDX, sk.NYU_BONES)
+            raise ValueError("Unknown joint parameter")
         self.plotMaxJointDist = 80
 
 
 class ICVLHandposeEvaluation(HandposeEvaluation):
-    """ICVL joint names/skeleton (handpose_evaluation.py:684-737)."""
+    """ICVL joint names/skeleton (handpose_evaluation.py:684-737):
+    five 3-segment finger chains rooted at the palm joint 0."""
 
     def __init__(self, gtjoints, joints, **kw):
         super().__init__(gtjoints, joints, **kw)
-        from lsps_tpu.utils import skeleton as sk
-
         self.jointNames = ["C", "T1", "T2", "T3", "I1", "I2", "I3",
                            "M1", "M2", "M3", "R1", "R2", "R3",
                            "P1", "P2", "P3"]
-        (self.jointColors, self.jointConnections,
-         self.jointConnectionColors) = _skeleton_tables(
-            sk.ICVL_COLOR_IDX, sk.ICVL_BONES)
+        self.jointColors = (
+            [_hsv(0.00, 0, 0.0)]
+            + [_hsv(h, 1, v) for h in _FINGER_HUES
+               for v in (0.6, 0.8, 1.0)])
+        self.jointConnections = [
+            [0, 3 * f + 1] if s == 0 else [3 * f + s, 3 * f + s + 1]
+            for f in range(5) for s in range(3)]
+        self.jointConnectionColors = [_hsv(h, 1, v) for h in _FINGER_HUES
+                                      for v in (0.6, 0.8, 1)]
         self.plotMaxJointDist = 80
 
 
 class MSRAHandposeEvaluation(HandposeEvaluation):
-    """MSRA joint names/skeleton (handpose_evaluation.py:853-913)."""
+    """MSRA joint names/skeleton (handpose_evaluation.py:853-913):
+    five 4-segment finger chains rooted at the palm joint 0."""
 
     def __init__(self, gtjoints, joints, **kw):
         super().__init__(gtjoints, joints, **kw)
-        from lsps_tpu.utils import skeleton as sk
-
         self.jointNames = ["C"] + [f"{f}{i}" for f in "TIMRP"
                                    for i in range(1, 5)]
-        (self.jointColors, self.jointConnections,
-         self.jointConnectionColors) = _skeleton_tables(
-            sk.MSRA_COLOR_IDX, sk.MSRA_BONES)
+        self.jointColors = (
+            [_hsv(0.00, 0, 0.0)]
+            + [_hsv(h, 1, v) for h in _FINGER_HUES
+               for v in (0.4, 0.6, 0.8, 1.0)])
+        self.jointConnections = [
+            [0, 4 * f + 1] if s == 0 else [4 * f + s, 4 * f + s + 1]
+            for f in range(5) for s in range(4)]
+        self.jointConnectionColors = [_hsv(h, 1, v) for h in _FINGER_HUES
+                                      for v in (0.4, 0.6, 0.8, 1)]
         self.plotMaxJointDist = 80
 
 

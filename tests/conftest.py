@@ -8,6 +8,14 @@ enough — we reconfigure and clear the backends explicitly.
 
 import os
 
+# Silence XLA:CPU's cpu_aot_loader machine-feature check: it records
+# the XLA option pseudo-features (+prefer-no-gather/+prefer-no-scatter)
+# in cached AOT results and then flags them as "unsupported host
+# features" on EVERY persistent-cache load — even for entries compiled
+# on this very machine — flooding stderr with bogus SIGILL warnings
+# that bury real output.  Real failures still raise Python-side.
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -41,6 +49,11 @@ assert len(jax.devices()) == 8, (
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# Host-path bit-parity claims assume NEP-50 scalar promotion
+# (docs/PARITY.md #10); fail loudly rather than mysteriously on 1.x.
+assert int(np.__version__.split(".")[0]) >= 2, (
+    f"bit-parity tests require numpy >= 2 (NEP 50), got {np.__version__}")
 
 
 @pytest.fixture

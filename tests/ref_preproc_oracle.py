@@ -165,6 +165,23 @@ def _exec_reference(relpath: str, name: str,
                                               types.ModuleType):
         mod.__dict__["stats"] = _ModProxy(mod.__dict__["stats"],
                                           mode=_old_mode)
+    # handpose_evaluation.py does `import scipy` and calls
+    # scipy.stats.nanmedian (removed in scipy 0.18).  np.nanmedian is
+    # the drop-in: the only call site (getMedianError,
+    # handpose_evaluation.py:120) wants "median error over all joints"
+    # per its own docstring, i.e. the axis=None scalar.  (The removed
+    # function's axis=0 default would have returned per-joint medians —
+    # a latent bug in the never-called reference method; documented in
+    # docs/PARITY.md.)
+    if "scipy" in mod.__dict__ and isinstance(mod.__dict__["scipy"],
+                                              types.ModuleType):
+        real_scipy = mod.__dict__["scipy"]
+        import scipy.stats as _scipy_stats  # ensure submodule is loaded
+
+        mod.__dict__["scipy"] = _ModProxy(
+            real_scipy,
+            stats=_ModProxy(_scipy_stats, mode=_old_mode,
+                            nanmedian=np.nanmedian))
     return mod
 
 
