@@ -167,7 +167,13 @@ def _bwd_impl(g, xhat, rstd, shape, slope):
     if pallas_enabled():
         dx = _pallas_bwd(gr, xhat, rstd, slope)
     else:
-        gp = _act_grad(gr.astype(jnp.float32), xhat, slope)
+        # promote, don't truncate: an f64 cotangent (the x64 lockstep
+        # oracle) must stay f64 — casting to f32 here injected ~1e-7
+        # noise into the analytically-zero conv-bias gradient, which
+        # Adam then amplified to a 2% parameter drift over 6 steps
+        gp = _act_grad(gr.astype(jnp.promote_types(gr.dtype,
+                                                   jnp.float32)),
+                       xhat, slope)
         m1 = jnp.mean(gp, axis=1, keepdims=True)
         m2 = jnp.mean(gp * xhat, axis=1, keepdims=True)
         dx = (rstd * (gp - m1 - xhat * m2)).astype(gr.dtype)
@@ -256,12 +262,13 @@ def _in_res_fwd_impl(x, res):
     if pallas_enabled():
         y, mean, rstd = _pallas_in_res_fwd(xr, rr)
     else:
-        xf = xr.astype(jnp.float32)
+        ft = jnp.promote_types(xr.dtype, jnp.float32)  # keep f64 f64
+        xf = xr.astype(ft)
         mean = jnp.mean(xf, axis=1, keepdims=True)
         var = jnp.mean(jnp.square(xf - mean), axis=1, keepdims=True)
         rstd = jax.lax.rsqrt(var + EPS)
         xhat = (xf - mean) * rstd
-        y = (xhat + rr.astype(jnp.float32)).astype(res.dtype)
+        y = (xhat + rr.astype(ft)).astype(res.dtype)
     return y.reshape(res.shape), mean, rstd
 
 
@@ -344,8 +351,9 @@ def _in_res_vjp_bwd(saved, g):
     if pallas_enabled():
         dx = _pallas_in_res_bwd(gr, x.reshape(b, h * w, c), mean, rstd)
     else:
-        gf = gr.astype(jnp.float32)
-        xf = x.reshape(b, h * w, c).astype(jnp.float32)
+        ft = jnp.promote_types(gr.dtype, jnp.float32)  # keep f64 f64
+        gf = gr.astype(ft)
+        xf = x.reshape(b, h * w, c).astype(ft)
         xhat = (xf - mean) * rstd
         m1 = jnp.mean(gf, axis=1, keepdims=True)
         m2 = jnp.mean(gf * xhat, axis=1, keepdims=True)

@@ -35,9 +35,15 @@ Pytree = Any
 # ---------------------------------------------------------------------------
 
 def _f32(x):
-    """Loss inputs accumulate in f32 regardless of compute dtype (the
-    bf16 training mode keeps convs in bf16 but reductions in f32)."""
-    return jnp.asarray(x, jnp.float32)
+    """Loss inputs accumulate in at least f32: bf16 activations are
+    promoted to f32 (the bf16 training mode keeps convs in bf16 but
+    reductions in f32); f32 stays f32; f64 stays f64 so the x64
+    lockstep-trajectory oracle (tests/test_reference_trajectory_parity
+    .py) compares genuine float64 trajectories."""
+    x = jnp.asarray(x)
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        return x.astype(jnp.float32)
+    return x.astype(jnp.promote_types(x.dtype, jnp.float32))
 
 
 def l1_loss(a, b):
@@ -78,6 +84,24 @@ def true_acc(logits):
 def fake_acc(logits):
     """Fraction classified fake (sigmoid <= 0.5) — helpers.py:27-32."""
     return jnp.mean((logits <= 0.0).astype(jnp.float32))
+
+
+def zeroed_subtrees(tree, names):
+    """Decay-reference tree with the named top-level subtrees zeroed.
+
+    torch's Adam skips params whose ``.grad`` is None: a net/head that
+    is unreachable in an update's loss graph receives NO weight decay
+    and NO moment updates in the reference.  Our jitted updates always
+    differentiate the full param tree (unreachable heads just get
+    exactly-zero grads), so zeroing those heads in the tree passed to
+    ``add_decayed_weights`` reproduces torch exactly: zero grad + zero
+    decay -> Adam moments stay zero -> exactly-zero update.  Pinned by
+    tests/test_reference_trajectory_parity.py.
+    """
+    out = dict(tree)
+    for n in names:
+        out[n] = jax.tree.map(jnp.zeros_like, tree[n])
+    return out
 
 
 def cast_tree(tree, dtype):
@@ -335,8 +359,13 @@ class LSPSTrainer:
         diff = {"gen": params["gen"], "map": params["map"]}
         (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(diff)
         grads = self._maybe_pmean(grads)
+        # with train_map off the map net never participates
+        # (lsps_trainer.py:84-104) -> no decay, no moments, no update
+        # (see zeroed_subtrees)
+        decay_ref = diff if self.train_map else zeroed_subtrees(
+            diff, ("map",))
         updates, new_opt = self.gen_opt.update(grads, state["opt"]["gen"],
-                                               diff)
+                                               decay_ref)
         new_diff = optax.apply_updates(diff, updates)
         new_state = {
             "params": {**params, "gen": new_diff["gen"],
@@ -431,8 +460,12 @@ class LSPSTrainer:
         (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params["dis"])
         grads = self._maybe_pmean(grads)
+        # the Post head is unreachable from the adversarial loss
+        # (lsps_nets.py:154-160 uses model_A/B/S + D only) -> torch
+        # leaves it untouched, decay included (see zeroed_subtrees)
+        decay_ref = zeroed_subtrees(params["dis"], ("Post",))
         updates, new_opt = self.dis_opt.update(grads, state["opt"]["dis"],
-                                               params["dis"])
+                                               decay_ref)
         new_dis = optax.apply_updates(params["dis"], updates)
         new_state = {
             "params": {**params, "dis": new_dis},
@@ -645,8 +678,15 @@ class LSPSTrainer:
         (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params["dis"])
         grads = self._maybe_pmean(grads)
+        # heads unreachable from this mode's loss graph get neither
+        # grads nor decay in torch (see zeroed_subtrees): D never
+        # (post_update uses regress/feats only, lsps_trainer.py:220-258),
+        # plus the other domain's front in the single-domain modes
+        dead = ("D", "model_B") if mode == 0 else (
+            ("D", "model_A") if mode == 1 else ("D",))
+        decay_ref = zeroed_subtrees(params["dis"], dead)
         updates, new_opt = self.dis_opt.update(grads, state["opt"]["dis"],
-                                               params["dis"])
+                                               decay_ref)
         new_dis = optax.apply_updates(params["dis"], updates)
         new_state = {
             "params": {**params, "dis": new_dis},
