@@ -36,9 +36,14 @@ class PoseEstimator:
                  domain: str = "b", dtype=jnp.float32, mesh=None,
                  warp: Optional[str] = None):
         """``dtype=jnp.bfloat16`` casts the conv-trunk weights and
-        activations to bf16 — at batch 1 the trunk is weight-bandwidth
-        bound (the SharedDis trunk holds ~19M params), so bf16 roughly
-        halves latency; the pose decode stays float32.
+        activations to bf16; the pose decode stays float32.  MEASURED
+        (BENCH_r04, real chip): at batch 1 bf16 is ~40% SLOWER than f32
+        (0.452 vs 0.318 ms) on the current platform — the trunk's small
+        spatial dims leave the MXU under-occupied either way and the
+        bf16 path adds layout/convert work, so **float32 is the
+        recommended and default serving dtype at low batch**; bf16 only
+        pays off in the large-batch throughput regime.  bench.py
+        measures both and reports the min (docs/BENCHMARKS.md).
 
         ``mesh``: an optional ``jax.sharding.Mesh`` with a ``data`` axis
         for throughput serving — weights replicate, the batch shards
@@ -46,14 +51,18 @@ class PoseEstimator:
         normalize included) across chips with no host involvement.  The
         reference serves one frame from one GPU (SURVEY.md §3.4).
 
-        ``warp``: crop warp lowering, ``"gather"`` or ``"einsum"``
-        (see serve/preprocess_jax.py); default from ``LSPS_SERVE_WARP``
-        env, else "einsum".  The round-3 A/B on the real chip
-        (scripts/serve_ab.sh, docs/BENCHMARKS.md) showed XLA lowers the
-        in-program elementwise gather to a scalar loop here exactly as
-        it did in the training augment: einsum is 11x faster at batch
-        32 (0.68 vs 7.3 ms device) and 34x at batch 256, with
-        bit-identical outputs (tests/test_preprocess_jax.py)."""
+        ``warp``: crop warp lowering, ``"gather"``, ``"einsum"`` or
+        ``"pallas"`` (see serve/preprocess_jax.py and ops/pallas/
+        warp.py); default from ``LSPS_SERVE_WARP`` env, else "einsum".
+        The round-3 A/B on the real chip (scripts/serve_ab.sh,
+        docs/BENCHMARKS.md) showed XLA lowers the in-program
+        elementwise gather to a scalar loop here exactly as it did in
+        the training augment: einsum is 11x faster at batch 32 (0.68 vs
+        7.3 ms device) and 34x at batch 256, with bit-identical outputs
+        (tests/test_preprocess_jax.py).  "pallas" fuses the warp +
+        normalize tail into one kernel per frame; the on-chip A/B vs
+        einsum is scripts/serve_warp_ab.py (docs/BENCHMARKS.md "Pallas
+        warp A/B")."""
         import os
         self.warp = warp or os.environ.get("LSPS_SERVE_WARP", "einsum")
         self.dis = build_model(hyp["dis"])

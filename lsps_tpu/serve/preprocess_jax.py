@@ -148,7 +148,17 @@ def crop_normalize(dpt, com, cube, fx: float, fy: float,
 
 def crop_normalize_batch(frames, coms, cubes, fx, fy,
                          dsize=(128, 128), warp: str = "einsum"):
-    """Batched ``crop_normalize`` (vmapped over frames/coms/cubes)."""
+    """Batched ``crop_normalize`` (vmapped over frames/coms/cubes).
+
+    ``warp="pallas"`` routes the whole warp+normalize tail through the
+    fused Pallas kernel (ops/pallas/warp.py) instead of the vmapped
+    einsum program — bit-identical outputs (tests/test_pallas_warp.py),
+    A/B'd on the real chip by scripts/serve_warp_ab.py."""
+    if warp == "pallas":
+        from lsps_tpu.ops.pallas.warp import crop_normalize_batch_pallas
+
+        return crop_normalize_batch_pallas(frames, coms, cubes, fx, fy,
+                                           dsize=dsize)
     fn = functools.partial(crop_normalize, fx=fx, fy=fy, dsize=dsize,
                            warp=warp)
     return jax.vmap(fn)(frames, coms, cubes)
