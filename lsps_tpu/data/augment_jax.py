@@ -35,11 +35,20 @@ import jax.numpy as jnp
 
 @jax.jit
 def device_recrop_normalize_batch(src, minv, com_z, cube_z, premax,
-                                  zstart, zend, pad_value=0.0,
-                                  nv_val=32000.0):
-    """src: (B, H, W) raw mm crops; minv: (B, 3, 3) dst->src transforms;
+                                  zstart, zend, vstar=None,
+                                  pad_value=0.0, nv_val=32000.0):
+    """src: (B, H, W) raw mm crops — float32, or uint16 codes from
+    basetypes.encode_dpt_u16 (then ``vstar`` (B,) carries the per-frame
+    code-1 value and the EXACT f32 decode happens here, in-program, so
+    the H2D stream is half-width); minv: (B, 3, 3) dst->src transforms;
     per-sample scalars (B,).  Returns (B, H, W) normalized crops."""
-    src = jnp.asarray(src, jnp.float32)
+    src = jnp.asarray(src)
+    if src.dtype == jnp.uint16:
+        src = jnp.where(src == 1,
+                        jnp.asarray(vstar, jnp.float32)[:, None, None],
+                        src.astype(jnp.float32))
+    else:
+        src = src.astype(jnp.float32)
     b, h, w = src.shape
 
     out_x = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)

@@ -48,7 +48,7 @@ class _HandDatasetBase:
         (dataset_hand2.py:150-156)."""
         cube = self.seq.cube
         com = self.seq.com[0]
-        img = normalize(self.seq.dpt[0].copy(), com, cube)
+        img = normalize(self.seq.dpt_mm(0), com, cube)
         self.hd = HandDetector(img, abs(self.di.fx), abs(self.di.fy),
                                importer=self.di)
         self.num = len(self.seq)
@@ -142,7 +142,7 @@ class DatasetHandICVL(_HandDatasetBase):
         com = self.seq.com[i].astype(np.float32)
         M = self.seq.M[i].astype(np.float32)
         gt3d = self.seq.gt3Dcrop[i].astype(np.float32)
-        img = normalize(self.seq.dpt[i].copy(), com, cube)
+        img = normalize(self.seq.dpt_mm(i), com, cube)
 
         if not self.augment:
             if self.pose_only:
@@ -185,7 +185,7 @@ class DatasetHandICVLTest(_HandDatasetBase):
         com = seq.com[j].astype(np.float32)
         M = seq.M[j].astype(np.float32)
         gt3d = seq.gt3Dcrop[j].astype(np.float32)
-        img = normalize(seq.dpt[j].copy(), com, cube)
+        img = normalize(seq.dpt_mm(j), com, cube)
         return (img[None], gt3d.reshape(-1) / (cube[2] / 2.0), com, M, cube)
 
     def __len__(self):
@@ -241,7 +241,7 @@ class DatasetHandNYU(_HandDatasetBase):
         com = self.seq.com[i].astype(np.float32)
         M = self.seq.M[i].astype(np.float32)
         gt3d = self.seq.gt3Dcrop[i].astype(np.float32)
-        img = normalize(self.seq.dpt[i].copy(), com, cube)
+        img = normalize(self.seq.dpt_mm(i), com, cube)
 
         if not self.augment:
             gt3d = gt3d[self.joint_subset]
@@ -286,7 +286,7 @@ class DatasetHandNYUTest(_HandDatasetBase):
         com = self.seq.com[i].astype(np.float32)
         M = self.seq.M[i].astype(np.float32)
         gt3d = self.seq.gt3Dcrop[i].astype(np.float32)
-        img = normalize(self.seq.dpt[i].copy(), com, cube)
+        img = normalize(self.seq.dpt_mm(i), com, cube)
         return (img[None], gt3d.reshape(-1) / (cube[2] / 2.0), com, M, cube,
                 cube)
 

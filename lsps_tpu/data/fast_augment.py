@@ -148,7 +148,16 @@ class FastAugmenter:
         h, w = seq.dpt.shape[1:]
         cube0 = seq.cube
 
-        src = np.ascontiguousarray(seq.dpt[idxs], np.float32)
+        if seq.dpt.dtype == np.uint16:
+            # half-size raw-mm form (basetypes.encode_dpt_u16): ship the
+            # uint16 codes straight to the consumer — the device program
+            # decodes in-program, so H2D moves half the bytes; the host
+            # C++ kernel path decodes per batch in batch() below
+            src = np.ascontiguousarray(seq.dpt[idxs])
+            vstar = np.ascontiguousarray(seq.dpt_vstar[idxs], np.float32)
+        else:
+            src = np.ascontiguousarray(seq.dpt[idxs], np.float32)
+            vstar = None
         gt3d = seq.gt3Dcrop[idxs].astype(np.float32)
         com3d = seq.com[idxs].astype(np.float32)
         M0 = seq.M[idxs].astype(np.float64)
@@ -261,8 +270,12 @@ class FastAugmenter:
 
         com3d_out = di.joint_img_to_3d(out_com2d).astype(np.float32)
         # minv stays float64: the native kernel does its coordinate math
-        # in double; device consumers cast to f32 at trace time
+        # in double; device consumers cast to f32 at trace time.  With a
+        # uint16-coded source the tuple grows an 8th element (vstar) —
+        # device_recrop_normalize_batch takes it positionally.
         raw = (src, minv, com_z, cube_z, premax, zstart, zend)
+        if vstar is not None:
+            raw = raw + (vstar,)
         return raw, labels.reshape(n, -1), com3d_out, Ms, cubes
 
     def batch(self, idxs) -> Tuple[np.ndarray, ...]:
@@ -277,7 +290,10 @@ class FastAugmenter:
                 *raw, pad_value=PAD_VALUE, nv_val=NV_VAL))
         else:
             from lsps_tpu import native
+            from lsps_tpu.data.basetypes import decode_dpt_u16
 
+            if len(raw) == 8:  # uint16 codes: host kernel wants f32 mm
+                raw = (decode_dpt_u16(raw[0], raw[7]),) + raw[1:7]
             imgs = native.fused_recrop_normalize_batch(
                 *raw, pad_value=PAD_VALUE, nv_val=NV_VAL)
 

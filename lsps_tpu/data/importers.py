@@ -16,7 +16,9 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 
-from lsps_tpu.data.basetypes import DepthFrame, FrameArrays, NamedImgSequence
+from lsps_tpu.data.basetypes import (DepthFrame, FrameArrays,
+                                     NamedImgSequence, decode_dpt_u16,
+                                     encode_dpt_u16)
 from lsps_tpu.data.camera import Camera
 from lsps_tpu.data.detector import HandDetector
 from lsps_tpu.data.transformations import transform_points_2d
@@ -101,12 +103,21 @@ class DepthImporter:
         if not (self.use_cache and os.path.isfile(path)):
             return None
         z = np.load(path, allow_pickle=True)
+        if "dpt_u16" in z:
+            # half-size raw-mm form: KEEP the codes resident (batch
+            # paths decode per batch / in-program, basetypes.dpt_mm)
+            dpt, vstar = z["dpt_u16"], z["dpt_vstar"]
+            if os.environ.get("LSPS_CACHE_F32"):
+                dpt, vstar = decode_dpt_u16(dpt, vstar), None
+        else:
+            dpt, vstar = z["dpt"], None
         arrays = FrameArrays(
-            name=str(z["name"]), dpt=z["dpt"], gtorig=z["gtorig"],
+            name=str(z["name"]), dpt=dpt, gtorig=z["gtorig"],
             gtcrop=z["gtcrop"], M=z["M"], gt3Dorig=z["gt3Dorig"],
             gt3Dcrop=z["gt3Dcrop"], com=z["com"],
             config={"cube": tuple(z["cube"])},
-            file_names=list(z["file_names"]) if "file_names" in z else None)
+            file_names=list(z["file_names"]) if "file_names" in z else None,
+            dpt_vstar=vstar)
         if shuffle and rng is not None:
             arrays = arrays.shuffled(rng)
         if np.isfinite(nmax):
@@ -117,12 +128,24 @@ class DepthImporter:
         if not self.use_cache:
             return
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        np.savez_compressed(
-            path, name=arrays.name, dpt=arrays.dpt, gtorig=arrays.gtorig,
+        common = dict(
+            name=arrays.name, gtorig=arrays.gtorig,
             gtcrop=arrays.gtcrop, M=arrays.M, gt3Dorig=arrays.gt3Dorig,
             gt3Dcrop=arrays.gt3Dcrop, com=arrays.com,
             cube=np.asarray(arrays.config["cube"], np.float32),
             file_names=np.asarray(arrays.file_names or [], dtype=object))
+        if arrays.dpt.dtype == np.uint16:
+            enc = (arrays.dpt, arrays.dpt_vstar)
+        else:
+            # store crops uint16-coded when losslessly possible (half
+            # the cache bytes; verified bit-exact by encode_dpt_u16)
+            enc = (None if os.environ.get("LSPS_CACHE_F32")
+                   else encode_dpt_u16(arrays.dpt))
+        if enc is not None:
+            np.savez_compressed(path, dpt_u16=enc[0], dpt_vstar=enc[1],
+                                **common)
+        else:
+            np.savez_compressed(path, dpt=arrays.dpt, **common)
 
     def _crop_frame(self, dpt, gtorig, gt3Dorig, cube, docom, fname):
         """Shared per-frame crop step (reference importers.py:391-411)."""

@@ -26,7 +26,7 @@ def img_stack_depth_only(arrays: FrameArrays) -> Tuple[np.ndarray,
     n = len(arrays)
     imgs = np.empty((n, 1) + arrays.dpt.shape[1:], np.float32)
     for i in range(n):
-        imgs[i, 0] = normalize(arrays.dpt[i].copy(), arrays.com[i], cube)
+        imgs[i, 0] = normalize(arrays.dpt_mm(i), arrays.com[i], cube)
     labels = arrays.gt3Dcrop / (cube[2] / 2.0)
     return imgs, labels.astype(np.float32)
 
