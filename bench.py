@@ -225,24 +225,36 @@ def main():
     def fetch(o):
         return np.asarray(jax.tree_util.tree_leaves(o)[0])
 
-    def timed(e, n_iter=200):
+    def windows(call, n_windows=5, iters=40):
+        """Median + IQR over fetch-synced sustained windows.  Single
+        samples made round-over-round drift unjudgeable (r3 0.292 ->
+        r4 0.318 with no error bars — VERDICT r4); each window is
+        iters dispatches bounded by one host fetch."""
+        vals = []
+        for _ in range(n_windows):
+            t0 = time.perf_counter()
+            for _ in range(iters - 1):
+                call()
+            fetch(call())
+            vals.append((time.perf_counter() - t0) / iters * 1e3)
+        v = np.asarray(vals)
+        return (float(np.median(v)),
+                float(np.percentile(v, 75) - np.percentile(v, 25)))
+
+    def timed(e):
+        call = lambda: e._frames_to_pose(e.params, frames, coms, cubes)
         # warmup/compile, queue drained by the fetch
         for _ in range(3):
-            fetch(e._frames_to_pose(e.params, frames, coms, cubes))
+            fetch(call())
         # single-request round trip (drained queue): tunnel RTT + exec
         t0 = time.perf_counter()
-        fetch(e._frames_to_pose(e.params, frames, coms, cubes))
+        fetch(call())
         roundtrip = (time.perf_counter() - t0) * 1e3
-        # sustained: n dispatches, ONE final fetch bounds them all
-        t0 = time.perf_counter()
-        for _ in range(n_iter - 1):
-            e._frames_to_pose(e.params, frames, coms, cubes)
-        fetch(e._frames_to_pose(e.params, frames, coms, cubes))
-        sustained = (time.perf_counter() - t0) / n_iter * 1e3
-        return sustained, roundtrip
+        med, iqr = windows(call)
+        return med, iqr, roundtrip
 
-    ms, ms_rt = timed(est)
-    ms_bf16, ms_bf16_rt = timed(est_bf16)
+    ms, ms_iqr, ms_rt = timed(est)
+    ms_bf16, ms_bf16_iqr, ms_bf16_rt = timed(est_bf16)
 
     # raw-stream path: CoM detection ON DEVICE too (predict_raw — the
     # reference's host-side handdetector.detect made device-resident)
@@ -261,14 +273,20 @@ def main():
               file=__import__("sys").stderr)
 
     baseline_ms = 1.0  # north-star target (BASELINE.json)
-    best = min(ms, ms_bf16)
+    best, best_iqr = ((ms, ms_iqr) if ms <= ms_bf16
+                      else (ms_bf16, ms_bf16_iqr))
     out = {
         "metric": "depth_to_pose_latency_b1",
         "value": round(best, 4),
         "unit": "ms/frame",
         "vs_baseline": round(baseline_ms / best, 3),
+        # medians over 5 fetch-synced windows; *_iqr is the
+        # inter-quartile spread of the window estimates
+        "value_iqr": round(best_iqr, 4),
         "f32_ms": round(ms, 4),
+        "f32_ms_iqr": round(ms_iqr, 4),
         "bf16_ms": round(ms_bf16, 4),
+        "bf16_ms_iqr": round(ms_bf16_iqr, 4),
         # single-shot round trip through the tunnel (drained queue);
         # dominated by tunnel RTT, not device execution
         "roundtrip_ms": round(min(ms_rt, ms_bf16_rt), 2),
@@ -286,15 +304,14 @@ def main():
             fr = jnp.asarray(np.broadcast_to(frame, (b,) + frame.shape))
             cm = jnp.asarray(np.broadcast_to(com, (b, 3)))
             cb = jnp.asarray(np.broadcast_to(cube, (b, 3)))
+            call = (lambda fr=fr, cm=cm, cb=cb:
+                    est_bf16._frames_to_pose(est_bf16.params, fr, cm, cb))
             for _ in range(3):
-                fetch(est_bf16._frames_to_pose(est_bf16.params, fr, cm, cb))
-            nb = 40 if b == 64 else 16
-            t0 = time.perf_counter()
-            for _ in range(nb - 1):
-                est_bf16._frames_to_pose(est_bf16.params, fr, cm, cb)
-            fetch(est_bf16._frames_to_pose(est_bf16.params, fr, cm, cb))
-            msb = (time.perf_counter() - t0) / nb * 1e3
+                fetch(call())
+            msb, msb_iqr = windows(call, n_windows=5,
+                                   iters=8 if b == 64 else 4)
             out[f"serve_b{b}_ms_per_image"] = round(msb / b, 4)
+            out[f"serve_b{b}_iqr_ms_per_image"] = round(msb_iqr / b, 4)
             out[f"serve_b{b}_images_per_s"] = round(b / (msb / 1e3), 1)
         except Exception as e:
             print(f"b{b} throughput bench skipped: {type(e).__name__}: {e}",
@@ -351,14 +368,13 @@ def main():
     except Exception as e:
         out["wall_bench_error"] = f"{type(e).__name__}: {e}"
 
-    # multi-step dispatch (--steps-per-call 8): K steps per XLA program
-    # amortize the residual per-dispatch overhead of the row above
-    try:
-        scan_ms, scan_imgs = _bench_wall_scan(jax, jnp, hyp, 32, k=8)
-        out["train_b32_bf16_wall_scan8_ms_per_step"] = round(scan_ms, 3)
-        out["train_b32_bf16_wall_scan8_images_per_s"] = round(scan_imgs, 1)
-    except Exception as e:
-        out["scan_bench_error"] = f"{type(e).__name__}: {e}"
+    # NOTE: the scan-8 wall number (multi-step dispatch) is no longer
+    # reported: it measured a consistent LOSS at this operating point
+    # (117.2 vs 108.8 ms r4 — synchronous K-batch staging outweighs
+    # the amortized dispatch; docs/BENCHMARKS.md "scan staging") and
+    # carrying it implied a live option.  The code path remains
+    # (--steps-per-call, _bench_wall_scan) for small-batch regimes
+    # where dispatch dominates.
 
     print(json.dumps(out))
 
