@@ -40,7 +40,8 @@ MAX_EPOCHS = 100000
 from lsps_tpu.train.gan_health import (COLLAPSE_CHECK_ITER,  # noqa: E402
                                        FAKE_ACC_DOMINANT,
                                        RESEED_WINDOW_FRAC, CollapseGuard,
-                                       gan_health_note, overfit_note)
+                                       RescueController, gan_health_note,
+                                       overfit_note)
 
 
 def main(argv=None):
@@ -65,6 +66,19 @@ def main(argv=None):
                         "the first FRAC of the schedule; later triggers "
                         "stay advisory (late borderline dominance is "
                         "measured-benign, docs/BENCHMARKS.md)")
+    parser.add_argument("--rescue-on-collapse", type=int, default=0,
+                        metavar="N",
+                        help="pretrain only: when the collapse guard "
+                        "triggers in the early window, FREEZE the "
+                        "discriminator and run generator-only updates "
+                        "for --rescue-iters iterations (up to N rescue "
+                        "phases) before falling back to the reseed/"
+                        "advisory action.  Tried BEFORE a reseed when "
+                        "both budgets are given (default 0 = off; the "
+                        "parity alternation is untouched)")
+    parser.add_argument("--rescue-iters", type=int, default=500,
+                        metavar="K",
+                        help="length of one generator-only rescue phase")
     opts = parser.parse_args(argv)
 
     attempts = max(0, opts.reseed_on_collapse) + 1
@@ -309,6 +323,15 @@ def _run(opts, seed, can_reseed=False, is_restart=False):
     guard = None if estimate else CollapseGuard(
         threshold=FAKE_ACC_DOMINANT,
         check_iter=opts.collapse_check_iter)
+    rescue = None
+    if not estimate and opts.rescue_on_collapse > 0:
+        if mesh_runner is not None or steps_per_call > 1:
+            print("collapse rescue: --rescue-on-collapse requires the "
+                  "single-device single-step loop (gen-only phases "
+                  "switch the update per iteration); ignoring")
+        else:
+            rescue = RescueController(opts.rescue_on_collapse,
+                                      phase_iters=opts.rescue_iters)
     err_history = []  # (iteration, mean mm err) per eval, overfit_note
     # snapshots written by THIS attempt — deleted if the guard aborts it,
     # so neither the in-process reseed nor a later --resume 1 can pick
@@ -410,6 +433,20 @@ def _run(opts, seed, can_reseed=False, is_restart=False):
                     if step_fns is not None:
                         state, metrics, outs = step_fns[need_viz](
                             state, in_a, labels_a, in_b, labels_b, rng)
+                    elif (rescue is not None
+                          and rescue.in_phase(iterations + 1)):
+                        # collapse-rescue phase: generator-only step,
+                        # the discriminator is frozen (its params AND
+                        # Adam moments untouched — gen_update only
+                        # writes the gen/map slots)
+                        if raw_mode:
+                            state, metrics, outs = trainer.gen_update_raw(
+                                state, in_a, labels_a, in_b, labels_b,
+                                rng, with_viz=need_viz)
+                        else:
+                            state, metrics, outs = trainer.gen_update(
+                                state, in_a, labels_a, in_b, labels_b,
+                                rng)
                     elif raw_mode and not estimate:
                         state, metrics, outs = trainer.pretrain_update_raw(
                             state, in_a, labels_a, in_b, labels_b, rng,
@@ -481,7 +518,16 @@ def _run(opts, seed, can_reseed=False, is_restart=False):
                             in_window = ((iterations + 1) <=
                                          opts.collapse_reseed_until
                                          * max_iterations)
-                            if can_reseed and in_window:
+                            if (rescue is not None
+                                    and not rescue.exhausted
+                                    and in_window):
+                                end = rescue.start(guard, iterations + 1)
+                                print(msg + f"; rescue phase "
+                                      f"{rescue.phases_used}/"
+                                      f"{rescue.budget}: freezing the "
+                                      f"discriminator for gen-only "
+                                      f"updates through iteration {end}")
+                            elif can_reseed and in_window:
                                 print(msg)
                                 writer.close()
                                 _discard_attempt_snapshots(

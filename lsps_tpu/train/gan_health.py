@@ -113,6 +113,67 @@ class CollapseGuard:
     def tail(self) -> List[Tuple[float, float]]:
         return list(self._tail)
 
+    def reset(self) -> None:
+        """Re-arm after an intervention: clear the trigger AND the
+        window, so the guard needs ``window`` fresh post-intervention
+        display cadences before it can fire again (hysteresis — stale
+        pre-rescue accuracies must not retrigger instantly)."""
+        self._tail.clear()
+        self.triggered_at = None
+        self.triggered_fake = None
+
+
+class RescueController:
+    """Detect-and-RESCUE companion to :class:`CollapseGuard`.
+
+    The guard's reseed action (``--reseed-on-collapse``) burns every
+    iteration spent so far and rolls a new seed; this controller tries
+    the cheap fix first: when dominance is detected inside the early
+    window, FREEZE the discriminator and run generator-only updates for
+    ``phase_iters`` iterations (the limiting form of "temporarily
+    reduce the dis LR while fake acc is dominant" — dis LR 0), then
+    resume normal alternation with a re-armed guard.  The generator
+    gets ``phase_iters`` uncontested steps to climb back to where the
+    discriminator can be fooled at all; if dominance recurs after all
+    ``budget`` phases, the caller falls through to its reseed/advisory
+    behavior.  Opt-in (``--rescue-on-collapse N``); the parity default
+    (0) leaves the reference's two-player schedule untouched
+    (reference alternation: depth_train.py:153-161).
+
+    Measured A/B vs the reseed action on the persistently
+    collapse-prone seed-777 family: docs/BENCHMARKS.md ("collapse
+    rescue A/B").
+    """
+
+    def __init__(self, budget: int, phase_iters: int = 500):
+        self.budget = int(budget)
+        self.phase_iters = int(phase_iters)
+        self.phases_used = 0
+        self._phase_end: Optional[int] = None
+        self.history: List[Tuple[int, float]] = []  # (trigger_it, fake)
+
+    @property
+    def exhausted(self) -> bool:
+        return self.phases_used >= self.budget
+
+    def in_phase(self, iteration: int) -> bool:
+        """True while ``iteration`` should run a generator-only step."""
+        if self._phase_end is None:
+            return False
+        if iteration > self._phase_end:
+            self._phase_end = None
+            return False
+        return True
+
+    def start(self, guard: CollapseGuard, iteration: int) -> int:
+        """Begin a gen-only phase at the trigger point; re-arms the
+        guard.  Returns the last iteration of the phase."""
+        self.phases_used += 1
+        self._phase_end = iteration + self.phase_iters
+        self.history.append((iteration, guard.triggered_fake))
+        guard.reset()
+        return self._phase_end
+
 
 def overfit_note(err_history, rise_ratio: float = 1.15,
                  min_evals_past_best: int = 2) -> Optional[str]:

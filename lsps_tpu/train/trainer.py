@@ -209,6 +209,9 @@ class LSPSTrainer:
                                            donate_argnums=dn,
                                            static_argnames=("feat_mat",
                                                             "with_viz"))
+        self.gen_update_raw = jax.jit(self._gen_update_raw,
+                                      donate_argnums=dn,
+                                      static_argnames=("with_viz",))
         self.post_update_raw = jax.jit(self._post_update_raw,
                                        donate_argnums=dn,
                                        static_argnames=("mode",
@@ -527,6 +530,18 @@ class LSPSTrainer:
         state, met, outs = self._pretrain_update(
             state, images_a, labels_a, images_b, labels_b, rng,
             feat_mat=feat_mat, with_viz=with_viz)
+        if not with_viz:
+            return state, met, None
+        return state, met, (outs, images_a, images_b)
+
+    def _gen_update_raw(self, state, raw_a, labels_a, raw_b, labels_b,
+                        rng, with_viz: bool = True):
+        """Generator-only fused-augment step (collapse-rescue phases:
+        the dis is frozen, see cli/depth_train --rescue-on-collapse)."""
+        images_a = self._device_augment(raw_a)
+        images_b = self._device_augment(raw_b)
+        state, met, outs = self._gen_update(
+            state, images_a, labels_a, images_b, labels_b, rng)
         if not with_viz:
             return state, met, None
         return state, met, (outs, images_a, images_b)

@@ -187,3 +187,94 @@ def test_cli_estimate_overfit_note_wiring(tmp_path, monkeypatch):
                  "--max-iterations", "2", "--batch-size", "4"])
     assert "NOTE: synthetic overfit advisory" in buf.getvalue()
     assert "hist" in seen  # the CLI passed its eval history
+
+
+def test_rescue_controller_state_machine():
+    from lsps_tpu.train.gan_health import RescueController
+
+    g = CollapseGuard(threshold=0.92, check_iter=1, window=3)
+    rc = RescueController(budget=2, phase_iters=4)
+    assert not rc.exhausted and not rc.in_phase(1)
+
+    assert _feed(g, 3, 0.97) == 3
+    end = rc.start(g, 3)
+    assert end == 7 and rc.phases_used == 1
+    # phase covers (trigger, trigger + phase_iters]; ends after that
+    assert rc.in_phase(4) and rc.in_phase(7)
+    assert not rc.in_phase(8)
+    # the guard was re-armed: trigger cleared AND window cleared, so
+    # it needs a fresh full window before it can fire again
+    assert g.triggered_at is None and g.tail == []
+    assert _feed(g, 2, 0.99, start_iter=8) is None  # window not full
+    assert g.observe(10, 0.7, 0.99) is True
+
+    rc.start(g, 10)
+    assert rc.exhausted
+    assert [it for it, _ in rc.history] == [3, 10]
+
+
+def test_cli_rescue_on_collapse(tmp_path, monkeypatch):
+    """End-to-end: the guard fires (threshold -1), the rescue phase
+    freezes the discriminator for gen-only steps (no dis metrics in
+    those rows), the guard re-arms and fires again after the phase, and
+    with the budget spent the run continues advisory — no reseed is
+    burnt."""
+    import lsps_tpu.cli.depth_train as dt
+
+    from helpers import read_metrics
+
+    cfg = make_synth_cfg(tmp_path, "rescue")
+    monkeypatch.setattr(dt, "FAKE_ACC_DOMINANT", -1.0)
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        dt.main(["--config", cfg, "--mode", "pretrain",
+                 "--log", str(tmp_path / "logs"),
+                 "--max-iterations", "16", "--batch-size", "4",
+                 "--rescue-on-collapse", "1", "--rescue-iters", "3",
+                 "--collapse-check-iter", "1",
+                 "--collapse-reseed-until", "1"])
+    out = buf.getvalue()
+    # trigger at the first full window (display=1, window=5) -> phase
+    # covers iterations 6..8
+    assert ("rescue phase 1/1: freezing the discriminator for gen-only "
+            "updates through iteration 8") in out
+    # re-armed guard fires again once 5 post-phase windows fill
+    # (iterations 9-13); budget spent -> advisory only, never a reseed
+    assert "continuing (no --reseed-on-collapse budget)" in out
+    assert "restarting pretrain" not in out
+    assert "pretrain aborted" not in out
+
+    recs = read_metrics(str(tmp_path / "logs"), cfg)
+    by_step = {r["step"]: r for r in recs}
+    # gen-only rows: dis metrics absent, gen metrics present
+    for step in (6, 7, 8):
+        assert "dis_loss" not in by_step[step], by_step[step]
+        assert "gen_total_loss" in by_step[step]
+    for step in (5, 9, 16):
+        assert "dis_loss" in by_step[step]
+
+
+def test_cli_rescue_tried_before_reseed(tmp_path, monkeypatch):
+    """With BOTH budgets, the rescue phase is tried first; the retrigger
+    after the spent rescue budget falls through to the reseed action."""
+    import lsps_tpu.cli.depth_train as dt
+
+    cfg = make_synth_cfg(tmp_path, "rescue_then_reseed")
+    monkeypatch.setattr(dt, "FAKE_ACC_DOMINANT", -1.0)
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        dt.main(["--config", cfg, "--mode", "pretrain",
+                 "--log", str(tmp_path / "logs"),
+                 "--max-iterations", "16", "--batch-size", "4",
+                 "--rescue-on-collapse", "1", "--rescue-iters", "2",
+                 "--reseed-on-collapse", "1",
+                 "--collapse-check-iter", "1",
+                 "--collapse-reseed-until", "1"])
+    out = buf.getvalue()
+    assert "rescue phase 1/1" in out
+    assert "restarting pretrain with seed" in out
+    # each fresh attempt gets its own rescue budget: the reseeded run
+    # rescues once more before going advisory
+    assert out.count("rescue phase 1/1") == 2
