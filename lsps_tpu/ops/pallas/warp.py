@@ -42,9 +42,14 @@ from lsps_tpu.ops.pallas.norm_act import pallas_enabled  # shared gate
 def _warp_kernel(idx_ref, par_ref, dpt_ref, out_ref):
     """One frame: out = normalize(clamp(R @ dpt @ C^T)).
 
-    idx_ref: (1, dh + dw) int32 — iy row sources then ix col sources,
-             -1 where the output pixel is invalid (outside dest/src).
-    par_ref: (1, 4) f32 — zstart, zend, com_z, half_cube.
+    idx_ref: (1, 1, dh + dw) int32 — iy row sources then ix col
+             sources, -1 where the output pixel is invalid (outside
+             dest/src).  The unit middle axis exists purely so the
+             per-frame block's trailing dims EQUAL the array's trailing
+             dims — Mosaic requires trailing block dims divisible by
+             (8, 128) or equal to the array's (a (1, dh+dw) block of a
+             (B, dh+dw) array is rejected for B > 1).
+    par_ref: (1, 1, 4) f32 — zstart, zend, com_z, half_cube.
     dpt_ref: (1, H, W) f32 frame (non-finite already sanitized to 0).
     out_ref: (1, dh, dw) f32 normalized crop in [-1, 1].
     """
@@ -53,8 +58,8 @@ def _warp_kernel(idx_ref, par_ref, dpt_ref, out_ref):
     dh = out_ref.shape[1]
     dw = out_ref.shape[2]
 
-    iy = idx_ref[0, :dh]
-    ix = idx_ref[0, dh:dh + dw]
+    iy = idx_ref[0, 0, :dh]
+    ix = idx_ref[0, 0, dh:dh + dw]
     dpt = dpt_ref[0]
 
     # one-hot selectors with validity folded in (-1 matches nothing)
@@ -72,10 +77,10 @@ def _warp_kernel(idx_ref, par_ref, dpt_ref, out_ref):
         vals, C, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
 
-    zstart = par_ref[0, 0]
-    zend = par_ref[0, 1]
-    com_z = par_ref[0, 2]
-    half = par_ref[0, 3]
+    zstart = par_ref[0, 0, 0]
+    zend = par_ref[0, 0, 1]
+    com_z = par_ref[0, 0, 2]
+    half = par_ref[0, 0, 3]
 
     # z-threshold (handdetector.py:293-297) + background -> far plane +
     # [-1, 1] normalization (dataset_hand2.py:27-31)
@@ -105,14 +110,15 @@ def warp_normalize_pallas(frames, iy, ix, params, dsize=(128, 128),
         _warp_kernel,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, dh_ + dw_), lambda i: (i, 0)),
-            pl.BlockSpec((1, 4), lambda i: (i, 0)),
+            pl.BlockSpec((1, 1, dh_ + dw_), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, 4), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, h, w), lambda i: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, dh_, dw_), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, dh_, dw_), jnp.float32),
         interpret=interpret,
-    )(idx, params.astype(jnp.float32), frames.astype(jnp.float32))
+    )(idx[:, None, :], params.astype(jnp.float32)[:, None, :],
+      frames.astype(jnp.float32))
 
 
 @functools.partial(jax.jit, static_argnames=("fx", "fy", "dsize",

@@ -50,7 +50,10 @@ def main(argv=None):
     cam = Camera.nyu()
     hyp = default_hyperparameters(reg_dim=42)
     state = LSPSTrainer(hyp).init_state(jax.random.PRNGKey(0))
-    params = jax.device_get(state["params"])
+    # keep params DEVICE-resident: fetching to host numpy makes every
+    # dispatch re-upload the ~80 MB trunk through the tunnel (~2.2 s a
+    # call, measured — the first run of this script did exactly that)
+    params = state["params"]
 
     rs = np.random.RandomState(0)
     frame = np.zeros((480, 640), np.float32)
@@ -99,7 +102,7 @@ def main(argv=None):
 
         # (b) full depth->pose serve program
         for arm in ("einsum", "pallas"):
-            est = PoseEstimator(params, hyp, camera=cam, warp=arm)
+            est = PoseEstimator(hyp, params, camera=cam, warp=arm)
             call = lambda e=est: e._frames_to_pose(e.params, fr, cm, cb)
             for _ in range(3):
                 fetch(call())
