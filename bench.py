@@ -225,18 +225,30 @@ def main():
     def fetch(o):
         return np.asarray(jax.tree_util.tree_leaves(o)[0])
 
-    def windows(call, n_windows=5, iters=40):
-        """Median + IQR over fetch-synced sustained windows.  Single
-        samples made round-over-round drift unjudgeable (r3 0.292 ->
-        r4 0.318 with no error bars — VERDICT r4); each window is
-        iters dispatches bounded by one host fetch."""
+    def windows(call, n_windows=5, k_small=40, k_big=200):
+        """Median + IQR of SLOPE-based sustained per-call latency.
+
+        A fetch-bounded run of k dispatches costs k*T_call + C, where C
+        is the constant host-fetch/tunnel round trip (~25 ms here).
+        Dividing one run by its k smears C over the iters — a bias of
+        C/k that made every prior round's serving number depend on the
+        iteration count chosen (r3/r4 used k=200 -> +0.13 ms hidden in
+        the 0.29-0.32 ms b1 figures; an interim r5 k=40 run read 0.85).
+        Timing TWO run lengths and taking the difference quotient
+        (t_big - t_small) / (k_big - k_small) cancels C exactly;
+        n_windows independent slopes give the median + IQR.  Single
+        samples had made round-over-round drift unjudgeable (VERDICT
+        r4)."""
         vals = []
         for _ in range(n_windows):
-            t0 = time.perf_counter()
-            for _ in range(iters - 1):
-                call()
-            fetch(call())
-            vals.append((time.perf_counter() - t0) / iters * 1e3)
+            ts = []
+            for k in (k_small, k_big):
+                t0 = time.perf_counter()
+                for _ in range(k - 1):
+                    call()
+                fetch(call())
+                ts.append(time.perf_counter() - t0)
+            vals.append((ts[1] - ts[0]) / (k_big - k_small) * 1e3)
         v = np.asarray(vals)
         return (float(np.median(v)),
                 float(np.percentile(v, 75) - np.percentile(v, 25)))
@@ -261,13 +273,11 @@ def main():
     raw_ms = None
     try:
         cubes_b = jnp.asarray(cube[None])
+        rcall = (lambda: est_bf16._raw_to_pose(est_bf16.params, frames,
+                                               cubes_b))
         for _ in range(3):
-            fetch(est_bf16._raw_to_pose(est_bf16.params, frames, cubes_b))
-        t0 = time.perf_counter()
-        for _ in range(99):
-            est_bf16._raw_to_pose(est_bf16.params, frames, cubes_b)
-        fetch(est_bf16._raw_to_pose(est_bf16.params, frames, cubes_b))
-        raw_ms = (time.perf_counter() - t0) / 100 * 1e3
+            fetch(rcall())
+        raw_ms, _ = windows(rcall)
     except Exception as e:
         print(f"raw-path bench skipped: {type(e).__name__}: {e}",
               file=__import__("sys").stderr)
@@ -280,8 +290,8 @@ def main():
         "value": round(best, 4),
         "unit": "ms/frame",
         "vs_baseline": round(baseline_ms / best, 3),
-        # medians over 5 fetch-synced windows; *_iqr is the
-        # inter-quartile spread of the window estimates
+        # medians of 5 slope-based fetch-synced windows (see windows());
+        # *_iqr is the inter-quartile spread of the window estimates
         "value_iqr": round(best_iqr, 4),
         "f32_ms": round(ms, 4),
         "f32_ms_iqr": round(ms_iqr, 4),
@@ -309,7 +319,8 @@ def main():
             for _ in range(3):
                 fetch(call())
             msb, msb_iqr = windows(call, n_windows=5,
-                                   iters=8 if b == 64 else 4)
+                                   k_small=8 if b == 64 else 4,
+                                   k_big=40 if b == 64 else 20)
             out[f"serve_b{b}_ms_per_image"] = round(msb / b, 4)
             out[f"serve_b{b}_iqr_ms_per_image"] = round(msb_iqr / b, 4)
             out[f"serve_b{b}_images_per_s"] = round(b / (msb / 1e3), 1)
@@ -327,14 +338,11 @@ def main():
             np.rint(frame).astype(np.uint16), (b,) + frame.shape))
         cm = jnp.asarray(np.broadcast_to(com, (b, 3)))
         cb = jnp.asarray(np.broadcast_to(cube, (b, 3)))
+        call16 = (lambda: est_bf16._frames_to_pose(est_bf16.params,
+                                                   fr16, cm, cb))
         for _ in range(3):
-            fetch(est_bf16._frames_to_pose(est_bf16.params, fr16, cm, cb))
-        nb = 10
-        t0 = time.perf_counter()
-        for _ in range(nb - 1):
-            est_bf16._frames_to_pose(est_bf16.params, fr16, cm, cb)
-        fetch(est_bf16._frames_to_pose(est_bf16.params, fr16, cm, cb))
-        msb = (time.perf_counter() - t0) / nb * 1e3
+            fetch(call16())
+        msb, _ = windows(call16, n_windows=5, k_small=4, k_big=12)
         out["serve_b512_u16_ms_per_image"] = round(msb / b, 4)
         out["serve_b512_u16_images_per_s"] = round(b / (msb / 1e3), 1)
     except Exception as e:

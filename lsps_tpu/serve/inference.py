@@ -36,14 +36,16 @@ class PoseEstimator:
                  domain: str = "b", dtype=jnp.float32, mesh=None,
                  warp: Optional[str] = None):
         """``dtype=jnp.bfloat16`` casts the conv-trunk weights and
-        activations to bf16; the pose decode stays float32.  MEASURED
-        (BENCH_r04, real chip): at batch 1 bf16 is ~40% SLOWER than f32
-        (0.452 vs 0.318 ms) on the current platform — the trunk's small
-        spatial dims leave the MXU under-occupied either way and the
-        bf16 path adds layout/convert work, so **float32 is the
-        recommended and default serving dtype at low batch**; bf16 only
-        pays off in the large-batch throughput regime.  bench.py
-        measures both and reports the min (docs/BENCHMARKS.md).
+        activations to bf16 ONCE at construction; the pose decode stays
+        float32.  MEASURED (real chip, rounds 4-5): at batch 1 the two
+        dtypes are within per-dispatch platform noise of each other
+        (r4 single samples read bf16 42% slower; the r5 slope-based
+        medians read it 33% faster, IQRs overlapping) — the trunk's
+        small spatial dims leave the MXU under-occupied either way, so
+        dtype choice does not matter at b1.  bf16 wins clearly in the
+        large-batch throughput regime (halved weight/activation HBM
+        traffic).  bench.py measures both with error bars and reports
+        the min (docs/BENCHMARKS.md round ledger).
 
         ``mesh``: an optional ``jax.sharding.Mesh`` with a ``data`` axis
         for throughput serving — weights replicate, the batch shards
