@@ -534,7 +534,7 @@ def _run(opts, seed, can_reseed=False, is_restart=False):
                                     orbax_store, attempt_snaps,
                                     attempt_orbax)
                                 return guard
-                            if can_reseed:
+                            elif can_reseed:
                                 print(msg + "; continuing (past the "
                                       "reseed window at "
                                       f"{(iterations + 1) / max_iterations:.0%}"
